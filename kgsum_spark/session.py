@@ -1,0 +1,58 @@
+"""SparkSession builders.
+
+Local-mode settings follow the public Spark tuning guidance: shuffle
+partitions ~ cores (not the 200 default), AQE on (runtime coalesce +
+skew-join), Arrow on (all our Python surface is pandas-UDF batched),
+UTC session TZ so parquet timestamps compare exactly against DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "kgsum_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a local SparkSession with `cores` threads.
+
+    cores=None → local[*]. shuffle_partitions defaults to max(cores, 8)
+    so small local runs don't over-parallelize and big ones don't bottleneck
+    on 200-way tiny shuffles. On a real cluster the same code runs under
+    spark-submit, where master/memory come from the submit command and this
+    builder only contributes SQL-level conf.
+    """
+    cpus = cores if cores is not None else int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    nshuffle = shuffle_partitions or max(cpus or (os.cpu_count() or 8), 8)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def get_or_create(app_name: str = "kgsum_spark") -> SparkSession:
+    """Reuse the active session if one exists (test/bench friendly)."""
+    active = SparkSession.getActiveSession()
+    return active if active is not None else build_session(app_name)
