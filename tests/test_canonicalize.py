@@ -1,0 +1,44 @@
+"""Connected-components convergence: chains, hubs, singletons (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+from kgsum_spark.canonicalize import canonical_map, connected_components
+
+
+def _run(spark, nodes, edges):
+    ndf = spark.createDataFrame([(n,) for n in nodes], "norm string")
+    edf = spark.createDataFrame(edges or [("_", "_")], "a string, b string")
+    if not edges:
+        edf = edf.filter("a != a")
+    return {
+        r["norm"]: r["label"] for r in connected_components(ndf, edf).collect()
+    }
+
+
+def test_chain_20(spark):
+    nodes = [f"e{i:02d}" for i in range(20)]
+    edges = [(f"e{i:02d}", f"e{i+1:02d}") for i in range(19)]
+    lab = _run(spark, nodes, edges)
+    assert set(lab.values()) == {"e00"}
+
+
+def test_hub_component_and_singleton(spark):
+    nodes = ["hub"] + [f"s{i}" for i in range(6)] + ["lonely"]
+    edges = [("hub", f"s{i}") for i in range(6)]
+    lab = _run(spark, nodes, edges)
+    assert lab["lonely"] == "lonely"
+    assert {lab[n] for n in nodes if n != "lonely"} == {"hub"}
+
+
+def test_two_components(spark):
+    nodes = ["a1", "a2", "b1", "b2"]
+    lab = _run(spark, nodes, [("a1", "a2"), ("b1", "b2")])
+    assert lab["a1"] == lab["a2"] == "a1"
+    assert lab["b1"] == lab["b2"] == "b1"
+
+
+def test_canonical_map_mint(spark):
+    ndf = spark.createDataFrame([("zorblax labs",), ("zorblax",)], "norm string")
+    edf = spark.createDataFrame([("zorblax labs", "zorblax")], "a string, b string")
+    got = {r["norm"]: r["canonical_id"] for r in canonical_map(ndf, edf).collect()}
+    assert got == {"zorblax labs": "ent:zorblax", "zorblax": "ent:zorblax"}
