@@ -58,7 +58,7 @@ def _write_stage(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    back = df.sparkSession.read.parquet(path)
+    back = df.sparkSession.read.schema(df.schema).parquet(path)
     lineage = [
         {"part_id": r["pid"], "rows": r["rows"]}
         for r in back.groupBy(F.spark_partition_id().alias("pid"))
@@ -71,6 +71,7 @@ def _write_stage(
         "partitions": len(lineage),
         "lineage": sorted(lineage, key=lambda p: p["part_id"]),
         "wall_sec": round(time.time() - t0, 3),
+        "schema": df.schema.jsonValue(),
     }
     with open(_marker_path(work_dir, stage), "w") as f:
         json.dump(meta, f, indent=1)
@@ -78,7 +79,16 @@ def _write_stage(
 
 
 def _read_stage(spark: SparkSession, work_dir: str, stage: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(work_dir, stage))
+    """Read a checkpointed stage back using the schema recorded in its
+    marker — robust to empty stages (no parquet files to infer from)."""
+    from pyspark.sql.types import StructType
+
+    with open(_marker_path(work_dir, stage)) as f:
+        meta = json.load(f)
+    reader = spark.read
+    if "schema" in meta:
+        reader = reader.schema(StructType.fromJson(meta["schema"]))
+    return reader.parquet(os.path.join(work_dir, stage))
 
 
 def run_pipeline(

@@ -31,6 +31,16 @@ def build_session(
     master = f"local[{cpus}]" if cpus else "local[*]"
     nshuffle = shuffle_partitions or max(cpus or (os.cpu_count() or 8), 8)
 
+    # Make this package importable on python workers even when the driver
+    # script runs from another cwd (local mode spawns workers from the
+    # driver env; on a real cluster, ship the package via --py-files).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pypath if pypath else "")
+        )
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
