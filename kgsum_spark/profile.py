@@ -1,0 +1,211 @@
+"""The profile-query battery (SURVEY.md §2.3, Q1-Q12): kgsum's core "query
+engine" — ~15 SPARQL feature-extraction queries per graph — re-expressed as
+DataFrame plans over a triples table t(subj, pred, obj, obj_is_iri[, o_lang]).
+
+Determinism note (SURVEY.md §7 hard-part 4): the reference applies LIMIT k
+to *unordered* DISTINCT results — a nondeterministic row choice in any
+engine. Here every capped query orders before limiting (count desc / value
+asc), so results are stable and oracle-checkable.
+
+Predicates are parameters; defaults accept both full-IRI and CURIE spellings
+of the vocabulary the reference emits (/root/reference/src/generate_profile.py:240-357).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.agg import topk_group_count
+from .operators.scalar import namespace_of, tld_of
+
+RDF_TYPE = ["rdf:type", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]
+OWL_SAMEAS = ["owl:sameAs", "http://www.w3.org/2002/07/owl#sameAs"]
+DCT_CREATOR = ["dcterms:creator", "http://purl.org/dc/terms/creator"]
+DCT_LICENSE = ["dcterms:license", "http://purl.org/dc/terms/license"]
+DCT_TITLE = ["dcterms:title", "http://purl.org/dc/terms/title"]
+DCT_DESCRIPTION = ["dcterms:description", "http://purl.org/dc/terms/description"]
+DCT_SUBJECT = ["dcterms:subject", "http://purl.org/dc/terms/subject"]
+VOID_SPARQL = ["void:sparqlEndpoint", "http://rdfs.org/ns/void#sparqlEndpoint"]
+VOID_DATASET = ["void:Dataset", "http://rdfs.org/ns/void#Dataset"]
+
+# Q4's 10-way SPARQL UNION of label predicates
+# (/root/reference/src/dataset_preparation.py:90-170) collapses to one isin.
+LABEL_PREDICATES = [
+    "rdfs:label", "http://www.w3.org/2000/01/rdf-schema#label",
+    "foaf:name", "http://xmlns.com/foaf/0.1/name",
+    "skos:prefLabel", "http://www.w3.org/2004/02/skos/core#prefLabel",
+    "rdfs:comment", "http://www.w3.org/2000/01/rdf-schema#comment",
+    "awol:label", "http://bblfish.net/work/atom-owl/2006-06-06/#label",
+    "skos:note", "http://www.w3.org/2004/02/skos/core#note",
+    "wdrs:text", "http://www.w3.org/2007/05/powder-s#text",
+    "skosxl:prefLabel", "http://www.w3.org/2008/05/skos-xl#prefLabel",
+    "skosxl:literalForm", "http://www.w3.org/2008/05/skos-xl#literalForm",
+    "schema:name", "http://schema.org/name",
+    "dcterms:title", "http://purl.org/dc/terms/title",
+]
+
+
+def vocabularies(t: DataFrame, limit: int = 1000) -> DataFrame:
+    """Q1 — distinct predicate namespaces
+    (/root/reference/src/dataset_preparation.py:26-62): distinct predicates,
+    then '#'-or-last-'/'-segment namespace, distinct again."""
+    return (
+        t.select("pred").distinct()
+        .filter(F.col("pred").startswith("http://") | F.col("pred").contains(":"))
+        .select(namespace_of(F.col("pred")).alias("voc"))
+        .distinct()
+        .orderBy("voc")
+        .limit(limit)
+    )
+
+
+def class_histogram(t: DataFrame, limit: int = 1000,
+                    rdf_type: list[str] = RDF_TYPE) -> DataFrame:
+    """Q2 — `?instance a ?class` top-k group-count, kgsum's flagship profile
+    query (/root/reference/src/dataset_preparation.py:65-87)."""
+    return topk_group_count(
+        t.filter(F.col("pred").isin(rdf_type)).select(F.col("obj").alias("curi")),
+        "curi", k=limit,
+    )
+
+
+def property_histogram(t: DataFrame, limit: int = 1000,
+                       rdf_type: list[str] = RDF_TYPE) -> DataFrame:
+    """Q3 — predicate usage counts excluding rdf:type
+    (/root/reference/src/dataset_preparation.py:203-227)."""
+    return topk_group_count(
+        t.filter(~F.col("pred").isin(rdf_type)).select(F.col("pred").alias("puri")),
+        "puri", k=limit,
+    )
+
+
+def labels(t: DataFrame, limit: int = 1000,
+           label_preds: list[str] = LABEL_PREDICATES,
+           rdf_type: list[str] = RDF_TYPE,
+           lang_col: str | None = None) -> DataFrame:
+    """Q4 — distinct label literals of *typed* subjects
+    (/root/reference/src/dataset_preparation.py:90-170): label-predicate
+    triples semi-joined on typed subjects. The typed-subject set can be
+    large → left_semi join (shuffle hash / AQE-chosen), not broadcast."""
+    typed = t.filter(F.col("pred").isin(rdf_type)).select("subj").distinct()
+    lab = (
+        t.filter(F.col("pred").isin(label_preds) & ~F.col("obj_is_iri"))
+        .join(typed, "subj", "left_semi")
+    )
+    if lang_col and lang_col in t.columns:
+        en = lab.filter(F.col(lang_col) == "en")
+        lab = en if en.limit(2).count() >= 2 else lab  # F6 fallback
+    return lab.select(F.col("obj").alias("lab")).distinct().orderBy("lab").limit(limit)
+
+
+def tlds(t: DataFrame, limit: int = 1000) -> DataFrame:
+    """Q5 — distinct top-level domains of IRI objects
+    (/root/reference/src/dataset_preparation.py:173-200): parse host, last
+    dot-segment, keep if 1 < len ≤ 10."""
+    return (
+        t.filter(F.col("obj_is_iri") & F.col("obj").startswith("http"))
+        .select(tld_of(F.col("obj")).alias("tld"))
+        .filter((F.length("tld") > 1) & (F.length("tld") <= 10))
+        .distinct()
+        .orderBy("tld")
+        .limit(limit)
+    )
+
+
+def _distinct_obj(t: DataFrame, preds: list[str], alias: str, limit: int) -> DataFrame:
+    return (
+        t.filter(F.col("pred").isin(preds))
+        .select(F.col("obj").alias(alias))
+        .distinct()
+        .orderBy(alias)
+        .limit(limit)
+    )
+
+
+def endpoints(t: DataFrame, limit: int = 2) -> DataFrame:
+    """Q6 (/root/reference/src/dataset_preparation.py:230-244)."""
+    return _distinct_obj(t, VOID_SPARQL, "sparql", limit)
+
+
+def creators(t: DataFrame, limit: int = 5) -> DataFrame:
+    """Q7 (/root/reference/src/dataset_preparation.py:247-261)."""
+    return _distinct_obj(t, DCT_CREATOR, "creator", limit)
+
+
+def licenses(t: DataFrame, limit: int = 1) -> DataFrame:
+    """Q8 (/root/reference/src/dataset_preparation.py:264-278)."""
+    return _distinct_obj(t, DCT_LICENSE, "license", limit)
+
+
+def titles(t: DataFrame, limit: int = 1) -> DataFrame:
+    """Q9 (/root/reference/src/dataset_preparation.py:337-351); the
+    title→endpoint→'' fallback chain lives in build_profile."""
+    return _distinct_obj(t, DCT_TITLE, "title", limit)
+
+
+def descriptions(t: DataFrame, limit: int = 100) -> DataFrame:
+    """Q10 (/root/reference/src/dataset_preparation.py:320-334)."""
+    return _distinct_obj(t, DCT_DESCRIPTION, "dsc", limit)
+
+
+def void_subjects(t: DataFrame, ds_limit: int = 100, limit: int = 100) -> DataFrame:
+    """Q11 — two-phase dependent join
+    (/root/reference/src/dataset_preparation.py:281-317): datasets typed
+    void:Dataset (≤ds_limit), then their dcterms:subject objects. The
+    per-dataset query loop becomes one broadcast semi-join."""
+    ds = (
+        t.filter(F.col("pred").isin(RDF_TYPE) & F.col("obj").isin(VOID_DATASET))
+        .select("subj").distinct().orderBy("subj").limit(ds_limit)
+    )
+    return (
+        t.filter(F.col("pred").isin(DCT_SUBJECT))
+        .join(F.broadcast(ds), "subj", "left_semi")
+        .select(F.col("obj").alias("sbj"))
+        .distinct()
+        .orderBy("sbj")
+        .limit(limit)
+    )
+
+
+def connections(t: DataFrame, limit: int = 1000) -> DataFrame:
+    """Q12 — the owl:sameAs edge set, kgsum's entity-linking signal
+    (select_local_con, /root/reference/src/dataset_preparation.py:354-368)."""
+    return (
+        t.filter(F.col("pred").isin(OWL_SAMEAS))
+        .select(F.col("obj").alias("con"))
+        .distinct()
+        .orderBy("con")
+        .limit(limit)
+    )
+
+
+def build_profile(t: DataFrame, profile_id: str = "graph") -> DataFrame:
+    """Assemble the one-row profile record (keys mirror
+    /root/reference/src/dataset_preparation.py:415-431): each feature list
+    is a sorted array column. Executed as one job per feature over the
+    pred-partitioned triples table (partition pruning per query)."""
+    feats = {
+        "voc": vocabularies(t), "curi": class_histogram(t).select("curi"),
+        "puri": property_histogram(t).select("puri"), "lab": labels(t),
+        "tlds": tlds(t), "sparql": endpoints(t), "creator": creators(t),
+        "license": licenses(t), "title": titles(t), "dsc": descriptions(t),
+        "sbj": void_subjects(t), "con": connections(t),
+    }
+    row = None
+    for name, df in feats.items():
+        col = df.columns[0]
+        agg = df.agg(F.array_sort(F.collect_list(col)).alias(name))
+        row = agg if row is None else row.crossJoin(agg)
+    # Q9 fallback chain: title → endpoint → "" (/root/reference/src/dataset_preparation.py:405)
+    row = row.withColumn(
+        "title",
+        F.coalesce(
+            F.try_element_at("title", F.lit(1)),
+            F.try_element_at("sparql", F.lit(1)),
+            F.lit(""),
+        ),
+    )
+    return row.select(F.lit(profile_id).alias("id"), "title", *[
+        c for c in feats if c != "title"
+    ])

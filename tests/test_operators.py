@@ -1,0 +1,175 @@
+"""Unit tests for the operator library (SURVEY.md §2.2/2.4/2.5/2.7/2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgsum_spark.operators import agg, filters, joins, scalar
+
+
+# --- scalar (C*) ---------------------------------------------------------
+
+def test_namespace_of(spark):
+    df = spark.createDataFrame(
+        [("http://ex.org/vocab#Class",), ("http://ex.org/a/b/Thing",)], ["u"]
+    )
+    got = [r["ns"] for r in df.select(scalar.namespace_of(F.col("u")).alias("ns")).collect()]
+    assert got == ["http://ex.org/vocab", "http://ex.org/a/b"]
+
+
+def test_local_name_of(spark):
+    df = spark.createDataFrame(
+        [("http://ex.org/vocab#Class",), ("http://ex.org/a/b/Thing",)], ["u"]
+    )
+    got = [r["l"] for r in df.select(scalar.local_name_of(F.col("u")).alias("l")).collect()]
+    assert got == ["Class", "Thing"]
+
+
+def test_tld_of(spark):
+    df = spark.createDataFrame([("http://data.example.org/x/y",)], ["u"])
+    assert df.select(scalar.tld_of(F.col("u")).alias("t")).first()["t"] == "org"
+
+
+def test_uri_predicates_disagree(spark):
+    # the two reference regexes intentionally disagree on www.x.com (C5)
+    df = spark.createDataFrame([("www.x.com",), ("http://x.org/a",), ("nope",)], ["u"])
+    out = df.select(
+        scalar.is_uri_strict(F.col("u")).alias("s"),
+        scalar.is_uri_loose(F.col("u")).alias("l"),
+    ).collect()
+    assert [(r["s"], r["l"]) for r in out] == [(False, True), (True, True), (False, False)]
+
+
+def test_parse_list_string(spark):
+    df = spark.createDataFrame([('["a","b"]',), ("plain",)], ["s"])
+    got = [r["a"] for r in df.select(scalar.parse_list_string(F.col("s")).alias("a")).collect()]
+    assert got == [["a", "b"], ["plain"]]
+
+
+def test_first_valid_uri(spark):
+    df = spark.createDataFrame(
+        [(["", "foo", "http://x.org/1"],), (["", "bar"],), (([""]),)], ["a"]
+    )
+    got = [r["u"] for r in df.select(scalar.first_valid_uri(F.col("a")).alias("u")).collect()]
+    assert got == ["http://x.org/1", "bar", None]
+
+
+# --- filters (F*) --------------------------------------------------------
+
+def test_category_exclusion(spark):
+    df = spark.createDataFrame(
+        [("a", "geo"), ("b", " user_generated "), ("c", None)], ["id", "category"]
+    )
+    got = sorted(r["id"] for r in filters.category_exclusion(df).collect())
+    assert got == ["a", "c"]
+
+
+def test_uri_blacklist(spark):
+    df = spark.createDataFrame(
+        [("http://www.w3.org/2000/01/rdf-schema#label",), ("http://my.org/p",)], ["u"]
+    )
+    got = [r["u"] for r in filters.filter_blacklisted_uris(df, "u").collect()]
+    assert got == ["http://my.org/p"]
+
+
+def test_predicate_prefix_filter(spark):
+    df = spark.createDataFrame(
+        [("http://ex.org/p",), ("http://www.w3.org/x",), ("https://ex.org/p",)], ["p"]
+    )
+    got = [r["p"] for r in df.filter(filters.predicate_prefix_filter(F.col("p"))).collect()]
+    assert got == ["http://ex.org/p"]
+
+
+def test_lang_fallback(spark):
+    few = spark.createDataFrame([("x", "en"), ("y", "fr"), ("z", "fr")], ["v", "o_lang"])
+    # only 1 en row < min 2 → fall back to all
+    assert filters.lang_filter_with_fallback(few).count() == 3
+    many = spark.createDataFrame([("x", "en"), ("y", "en"), ("z", "fr")], ["v", "o_lang"])
+    assert filters.lang_filter_with_fallback(many).count() == 2
+
+
+# --- aggregates (A*) -----------------------------------------------------
+
+def test_topk_group_count_deterministic_ties(spark):
+    df = spark.createDataFrame([("b",), ("b",), ("a",), ("a",), ("c",)], ["k"])
+    got = [(r["k"], r["cnt"]) for r in agg.topk_group_count(df, "k", k=2).collect()]
+    assert got == [("a", 2), ("b", 2)]  # tie broken by key asc
+
+
+def test_set_union_agg(spark):
+    df = spark.createDataFrame([(1, "b"), (1, "a"), (1, "b"), (2, "z")], ["g", "v"])
+    got = {r["g"]: r["vals"] for r in agg.set_union_agg(df, "g", "v").collect()}
+    assert got == {1: ["a", "b"], 2: ["z"]}
+
+
+def test_vote_argmax(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (2, "a"), (2, "b")], ["g", "lbl"]
+    )
+    got = {r["g"]: r["winner"] for r in agg.vote_argmax(df, "g", "lbl").collect()}
+    assert got == {1: "x", 2: "a"}  # group 2 tie → lexicographic
+
+
+def test_keep_last(spark):
+    df = spark.createDataFrame([("k", 1, "old"), ("k", 2, "new")], ["id", "ts", "v"])
+    got = agg.keep_last(df, ["id"], "ts").collect()
+    assert len(got) == 1 and got[0]["v"] == "new"
+
+
+def test_systematic_sample(spark):
+    df = spark.createDataFrame([("g", i) for i in range(10)], ["g", "i"])
+    got = sorted(r["i"] for r in agg.systematic_sample(df, "g", "i", every=3).collect())
+    assert got == [0, 3, 6, 9]
+
+
+def test_stratified_oversample_balances(spark):
+    rows = [("maj", i) for i in range(90)] + [("min", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["lbl", "i"])
+    out = agg.stratified_oversample(df, "lbl", seed=42, factor=5.0)
+    counts = {r["lbl"]: r["n"] for r in
+              out.groupBy("lbl").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["min"] >= 30  # ≥ integer replication part (10*floor(50/10)=50 min 30 w/cap)
+    assert counts["maj"] == 90
+
+
+def test_classification_metrics(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")], ["label", "pred"]
+    )
+    m = {r["cls"]: r for r in agg.classification_metrics(df, "label", "pred").collect()}
+    assert m["a"]["precision"] == 1.0 and m["a"]["recall"] == 0.5
+    assert m["b"]["recall"] == 1.0 and abs(m["b"]["precision"] - 2 / 3) < 1e-9
+
+
+# --- joins (J*) ----------------------------------------------------------
+
+def test_outer_merge_drops_conflicts(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    b = spark.createDataFrame([(2, "CONFLICT", "extra2"), (3, "z", "extra3")],
+                              ["id", "v", "extra"])
+    out = joins.outer_merge(a, b).orderBy("id").collect()
+    assert [r["id"] for r in out] == [1, 2, 3]
+    assert out[1]["v"] == "y"  # a's column wins
+    assert out[1]["extra"] == "extra2"
+
+
+def test_union_keep_last(spark):
+    f1 = spark.createDataFrame([(1, "old"), (2, "only1")], ["id", "v"])
+    f2 = spark.createDataFrame([(1, "new")], ["id", "v"])
+    got = {r["id"]: r["v"] for r in joins.union_keep_last([f1, f2], "id").collect()}
+    assert got == {1: "new", 2: "only1"}
+
+
+def test_containment_join(spark):
+    big = spark.createDataFrame([("the green box",), ("a red dot",)], ["g"])
+    small = spark.createDataFrame([("green",), ("blue",)], ["needle"])
+    got = [(r["g"], r["needle"]) for r in
+           joins.containment_join(big, small, "g", "needle").collect()]
+    assert got == [("the green box", "green")]
+
+
+def test_hash_match_join(spark):
+    catalog = spark.createDataFrame([("id-1",), ("id-2",)], ["id"])
+    files = catalog.select(F.sha2(F.col("id"), 256).alias("fhash")).limit(1)
+    out = joins.hash_match_join(files, catalog, "fhash")
+    assert out.count() == 1

@@ -1,0 +1,104 @@
+"""Profile-query battery (Q1-Q12) over a hand-computed triples fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgsum_spark import profile
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        # subj, pred, obj, obj_is_iri
+        ("http://d/s1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://v/Person", True),
+        ("http://d/s2", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://v/Person", True),
+        ("http://d/s3", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://v/Place", True),
+        ("http://d/s1", "http://www.w3.org/2000/01/rdf-schema#label", "Alice", False),
+        ("http://d/s3", "http://www.w3.org/2000/01/rdf-schema#label", "Berlin", False),
+        ("http://d/s9", "http://www.w3.org/2000/01/rdf-schema#label", "Untyped", False),  # excluded by Q4
+        ("http://d/s1", "http://xmlns.com/foaf/0.1/knows", "http://other.net/s2", True),
+        ("http://d/s1", "http://purl.org/dc/terms/creator", "acme", False),
+        ("http://d/s1", "http://purl.org/dc/terms/license", "http://lic.org/mit", True),
+        ("http://d/s1", "http://purl.org/dc/terms/title", "My Graph", False),
+        ("http://d/s1", "http://purl.org/dc/terms/description", "a graph", False),
+        ("http://d/ds", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://rdfs.org/ns/void#Dataset", True),
+        ("http://d/ds", "http://purl.org/dc/terms/subject", "http://sbj.org/geo", True),
+        ("http://d/other", "http://purl.org/dc/terms/subject", "http://sbj.org/hidden", True),  # not a void:Dataset
+        ("http://d/s1", "http://www.w3.org/2002/07/owl#sameAs", "http://dbpedia.org/r/A", True),
+        ("http://d/ds", "http://rdfs.org/ns/void#sparqlEndpoint", "http://d/sparql", True),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string, obj_is_iri boolean")
+
+
+def test_q1_vocabularies(triples):
+    vocs = {r["voc"] for r in profile.vocabularies(triples).collect()}
+    assert "http://xmlns.com/foaf/0.1" in vocs
+    assert "http://www.w3.org/1999/02/22-rdf-syntax-ns" in vocs
+    assert "http://purl.org/dc/terms" in vocs
+
+
+def test_q2_class_histogram(triples):
+    got = [(r["curi"], r["cnt"]) for r in profile.class_histogram(triples).collect()]
+    assert got[0] == ("http://v/Person", 2)
+    assert ("http://v/Place", 1) in got
+
+
+def test_q3_property_histogram(triples):
+    got = {r["puri"]: r["cnt"] for r in profile.property_histogram(triples).collect()}
+    assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" not in got
+    assert got["http://www.w3.org/2000/01/rdf-schema#label"] == 3
+
+
+def test_q4_labels_typed_only(triples):
+    got = {r["lab"] for r in profile.labels(triples).collect()}
+    assert got == {"Alice", "Berlin", "My Graph"}  # "Untyped" excluded
+
+
+def test_q5_tlds(triples):
+    got = {r["tld"] for r in profile.tlds(triples).collect()}
+    assert "org" in got and "net" in got
+
+
+def test_q6_q7_q8_q9_q10(triples):
+    assert [r["sparql"] for r in profile.endpoints(triples).collect()] == ["http://d/sparql"]
+    assert [r["creator"] for r in profile.creators(triples).collect()] == ["acme"]
+    assert [r["license"] for r in profile.licenses(triples).collect()] == ["http://lic.org/mit"]
+    assert [r["title"] for r in profile.titles(triples).collect()] == ["My Graph"]
+    assert [r["dsc"] for r in profile.descriptions(triples).collect()] == ["a graph"]
+
+
+def test_q11_void_subjects_dependent_join(triples):
+    got = [r["sbj"] for r in profile.void_subjects(triples).collect()]
+    assert got == ["http://sbj.org/geo"]  # subject of non-Dataset excluded
+
+
+def test_q12_connections(triples):
+    got = [r["con"] for r in profile.connections(triples).collect()]
+    assert got == ["http://dbpedia.org/r/A"]
+
+
+def test_build_profile_row(triples):
+    row = profile.build_profile(triples, "g1").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["id"] == "g1"
+    assert r["title"] == "My Graph"
+    assert r["curi"] == [
+        "http://rdfs.org/ns/void#Dataset", "http://v/Person", "http://v/Place"
+    ]
+    assert r["con"] == ["http://dbpedia.org/r/A"]
+
+
+def test_profile_on_pipeline_output(spark, transcripts_df, tmp_path_factory):
+    """The battery also runs over our own extracted KG (curie predicates)."""
+    from kgsum_spark.pipeline import run_pipeline
+
+    res = run_pipeline(
+        spark, transcripts_df, str(tmp_path_factory.mktemp("prof")), resume=False
+    )
+    hist = profile.class_histogram(res.triples).collect()
+    assert len(hist) > 0
+    assert hist[0]["cnt"] >= hist[-1]["cnt"]
+    cons = profile.connections(res.triples).collect()
+    assert len(cons) > 0
