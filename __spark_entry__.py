@@ -1,38 +1,706 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship smoke: loads /root/testdata/sf0.001 parquet,
+derives a deterministic transcript view from the `events` table, and runs
+the M1 end-to-end slice (window turn assembly → mapInPandas extraction →
+class histogram; SURVEY.md §7, reference flagship Q2 analog:
+/root/reference/src/dataset_preparation.py:65-87).
+
+`queries()` / `oracle_sql()` — one entry per implemented operator class
+from SURVEY.md §2, each aliased identically on both sides so the driver's
+column-sorted value hash matches. Cross-engine discipline:
+- every computed integer is CAST to BIGINT on both sides (DuckDB sum()
+  returns HUGEINT, row_number BIGINT vs Spark INT otherwise);
+- money math is done in integer cents (sum of doubles is order-dependent
+  and would flap the hash);
+- every capped/ordered query has a deterministic total order (tie-breaks);
+- doubles appear only where both engines compute bit-identical results
+  (single divisions; sequential dot products on double arrays).
+
+Entries with no oracle (rows-only checks) are the genuinely non-SQL ops:
+the KG pipeline itself (iterative connected components) and hash-based
+near-dup ops whose hash functions are engine-specific (xxhash64).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgsum_spark.assembly import assemble_turns
+from kgsum_spark.datapipe import dedup as dd
+from kgsum_spark.datapipe import similarity as sim
+from kgsum_spark.datapipe import textstats as ts
+from kgsum_spark.extraction import extract_raw_triples, mentions_from_raw
+from kgsum_spark.operators import agg as A
+from kgsum_spark.operators import joins as J
+from kgsum_spark.operators import scalar as C
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: events → transcript view → assembly → extraction → histogram
+# ---------------------------------------------------------------------------
+
+def _events_as_transcripts(events: DataFrame) -> DataFrame:
+    """Deterministic transcript view over the events table: per-user
+    conversations, turn order by (ts, event_id), template text that the
+    extraction rules genuinely fire on."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ent = F.concat(F.lit("Ev"), F.pmod(F.col("event_id"), F.lit(200)).cast("string"))
+    sent1 = F.concat(ent, F.lit(" is a "), F.col("event_type"), F.lit("."))
+    sent2 = F.when(
+        F.col("value") > 10,
+        F.concat(F.lit(" "), ent, F.lit(" same as http://ex.org/r/"),
+                 F.col("user_id").cast("string"), F.lit(".")),
+    ).otherwise(F.lit(""))
+    return events.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(sent1, sent2).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    events = _t(spark, "/root/testdata/sf0.001", "events")
+    turns = assemble_turns(_events_as_transcripts(events)).drop("rn")
+    raw = extract_raw_triples(turns)
+    return (
+        raw.filter(F.col("pred") == "rdf:type")
+        .groupBy(F.col("obj").alias("curi"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("curi").asc())
+        .limit(1000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# paired queries (Spark) — names/aliases must match oracle_sql() exactly
+# ---------------------------------------------------------------------------
+
+_PART_URI = "concat('http://ex.org/', p_brand, '#', replace(p_type, ' ', '_'))"
+
+
+def q1_namespaces(spark, sf):
+    part = _t(spark, sf, "part").withColumn("uri", F.expr(_PART_URI))
+    return (
+        part.select(C.namespace_of(F.col("uri")).alias("ns"))
+        .distinct().orderBy("ns")
+    )
+
+
+def q2_class_histogram(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("k").asc())
+        .limit(1000)
+    )
+
+
+def q3_property_histogram(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") != "O")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("priority").asc())
+    )
+
+
+def q4_labels_semi_join(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        J.dependent_semi_join(
+            o.withColumnRenamed("o_custkey", "c_custkey"),
+            c.select("c_custkey"), "c_custkey")
+        .select(F.col("o_orderpriority").alias("lab"))
+        .distinct().orderBy("lab")
+    )
+
+
+def q5_tld_histogram(spark, sf):
+    s = _t(spark, sf, "supplier").withColumn(
+        "url",
+        F.expr(
+            "concat('http://', lower(replace(s_name, '#', '')), '.', "
+            "CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'org' WHEN 1 THEN 'net' "
+            "ELSE 'io' END, '/x')"
+        ),
+    )
+    return (
+        s.select(C.tld_of(F.col("url")).alias("tld"))
+        .groupBy("tld").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("tld")
+    )
+
+
+def q8_license_pick(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.filter(F.col("o_orderstatus") == "F").agg(
+        F.min("o_orderpriority").alias("license")
+    )
+
+
+def q11_dependent_join(spark, sf):
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    nk = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")
+    return (
+        c.join(F.broadcast(nk), c.c_nationkey == nk.n_nationkey)
+        .select(F.col("c_mktsegment").alias("sbj"))
+        .distinct().orderBy("sbj")
+    )
+
+
+def q12_connections(spark, sf):
+    s = _t(spark, sf, "supplier")
+    return (
+        s.select(F.col("s_nationkey").cast("bigint").alias("con"))
+        .distinct().orderBy("con").limit(1000)
+    )
+
+
+def j1_outer_merge(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return (
+        j.groupBy(F.coalesce("c_mktsegment", F.lit("?")).alias("segment"))
+        .agg(
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_lonely"),
+        )
+        .orderBy("segment")
+    )
+
+
+def j3_keep_last(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("event_id").cast("bigint").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def j4_containment_join(spark, sf):
+    p = _t(spark, sf, "part").withColumn("lt", F.lower(F.col("p_type")))
+    r = _t(spark, sf, "region").select(
+        F.lower(F.substring("r_name", 1, 1)).alias("needle")
+    )
+    return (
+        J.containment_join(p, r, "lt", "needle")
+        .groupBy("needle").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("needle")
+    )
+
+
+def j5_hash_match_join(spark, sf):
+    o = _t(spark, sf, "orders").withColumn(
+        "fhash",
+        F.sha2(F.concat(F.lit("Customer#"), F.lpad(F.col("o_custkey").cast("string"), 9, "0")), 256),
+    )
+    c = _t(spark, sf, "customer")
+    return (
+        J.hash_match_join(o, c.select(F.col("c_name").alias("id"), "c_mktsegment"), "fhash")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("segment")
+    )
+
+
+def window_turn_assembly(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+
+
+def sessionize(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # parquet ts is TIMESTAMP_NTZ; route through timestamp (UTC session) to
+    # get epoch seconds — matches DuckDB floor(epoch(ts))
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    marked = e.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
+    return (
+        marked.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg((F.sum("new_sess") + 1).cast("bigint").alias("n_sessions"),
+             F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def a3_set_union(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"))
+        .orderBy("user_id")
+    )
+
+
+def a4_vote_argmax(spark, sf):
+    e = _t(spark, sf, "events")
+    out = A.vote_argmax(e, "user_id", "event_type", alias="winner")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"), "winner"
+    ).orderBy("user_id")
+
+
+def a6_systematic_sample(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("_r", F.row_number().over(w))
+        .filter((F.col("_r") - 1) % 100 == 0)
+        .select(F.col("event_id").cast("bigint").alias("event_id"), "event_type")
+        .orderBy("event_id")
+    )
+
+
+def f3_blacklist_filter(spark, sf):
+    p = _t(spark, sf, "part")
+    bad = ["econ", "promo"]
+    keep = ~F.lower(F.col("p_type")).rlike("|".join(bad))
+    return (
+        p.filter(keep)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("brand")
+    )
+
+
+def c_string_chain(spark, sf):
+    p = _t(spark, sf, "part").filter(F.col("p_partkey") % 97 == 0)
+    uri = F.expr(_PART_URI)
+    return p.select(
+        F.col("p_partkey").cast("bigint").alias("k"),
+        C.local_name_of(uri).alias("local_name"),
+        C.sha256_of(F.col("p_name")).alias("h"),
+    ).orderBy("k")
+
+
+def c10_props_parse(spark, sf):
+    e = _t(spark, sf, "events")
+    k = F.regexp_extract(F.col("props"), r"[0-9]+", 0).cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(F.sum(k).cast("bigint").alias("sum_k"),
+             F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+def tpch_q1_cents(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.sum(rev_cents).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def dedup_exact_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = dd.exact_duplicates(d, "doc_id", "text")
+    return out.select(
+        "text_hash",
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+    ).orderBy("text_hash")
+
+
+def dedup_ngram_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = dd.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    ).orderBy("a", "b")
+
+
+def text_quality_metrics(spark, sf):
+    d = _t(spark, sf, "documents")
+    m = ts.quality_metrics(d, "text")
+    return m.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_chars", "n_tokens", "n_punct", "n_digits", "n_stopwords_en",
+    ).orderBy("doc_id")
+
+
+def lang_id_heuristic(spark, sf):
+    d = _t(spark, sf, "documents")
+    low = F.transform(ts.tokens_of(F.col("text")), lambda x: F.lower(x))
+    sw = F.array(*[F.lit(w) for w in ts.STOPWORDS["en"]])
+    hits = F.size(F.filter(low, lambda x: F.array_contains(sw, x))).cast("bigint")
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        hits.alias("en_hits"),
+        F.when(hits > 0, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def fingerprint_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return ts.fingerprint(d, "text").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "fingerprint"
+    ).orderBy("doc_id")
+
+
+def ann_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in qrow["embedding"]]
+    out = sim.cosine_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+    return out.select(
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("sim").cast("double").alias("sim"),
+    )
+
+
+# --- rows-only entries (non-SQL-expressible: iterative CC, xxhash LSH) ----
+
+def kg_pipeline_triples(spark, sf):
+    """Full KG pipeline (extraction → linking → CC canonicalization) on the
+    deterministic synthetic corpus; iterative union-find is not ANSI-SQL."""
+    from kgsum_spark import schemas
+    from kgsum_spark.canonicalize import canonical_map
+    from kgsum_spark.linking import all_edges
+    from kgsum_spark.synth import generate_corpus
+
+    c = generate_corpus(n_convs=100, seed=42)
+    tdf = spark.createDataFrame(c.transcripts, schema=schemas.TRANSCRIPTS)
+    raw = extract_raw_triples(assemble_turns(tdf).drop("rn"))
+    mentions = mentions_from_raw(raw)
+    ent = canonical_map(mentions.select("norm").distinct(), all_edges(mentions, raw))
+    norm = lambda col: F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))  # noqa: E731
+    t = (
+        raw.withColumn("subj_norm", norm(F.col("subj")))
+        .join(F.broadcast(ent.withColumnRenamed("norm", "subj_norm")
+                          .withColumnRenamed("canonical_id", "subj_canon")), "subj_norm", "left")
+    )
+    return t.select(
+        F.coalesce("subj_canon", "subj").alias("subj"), "pred", "obj", "obj_is_iri"
+    ).distinct().orderBy("subj", "pred", "obj")
+
+
+def kg_flagship_histogram(spark, sf):
+    """entry() flagship at the given scale factor (events-derived corpus)."""
+    events = _t(spark, sf, "events")
+    turns = assemble_turns(_events_as_transcripts(events)).drop("rn")
+    raw = extract_raw_triples(turns)
+    return (
+        raw.filter(F.col("pred") == "rdf:type")
+        .groupBy(F.col("obj").alias("curi"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("curi").asc())
+    )
+
+
+def minhash_neardup_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    out = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    return out.orderBy("a", "b")
+
+
+def simhash_neardup_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dd.simhash_near_pairs(dd.simhash64(d, "doc_id", "text"),
+                                 max_hamming=6).orderBy("a", "b")
+
+
+def ann_lsh_pairs_embeddings(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    # synthetic embeddings have no near-dup pairs (max pairwise cosine ≈0.51
+    # at sf0.01); 0.3 exercises the bucket-join + verify path with real rows
+    return sim.ann_lsh_pairs(e, dim=dim, n_planes=10, threshold=0.3).orderBy("a", "b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_namespaces": q1_namespaces,
+        "q2_class_histogram": q2_class_histogram,
+        "q3_property_histogram": q3_property_histogram,
+        "q4_labels_semi_join": q4_labels_semi_join,
+        "q5_tld_histogram": q5_tld_histogram,
+        "q8_license_pick": q8_license_pick,
+        "q11_dependent_join": q11_dependent_join,
+        "q12_connections": q12_connections,
+        "j1_outer_merge": j1_outer_merge,
+        "j3_keep_last": j3_keep_last,
+        "j4_containment_join": j4_containment_join,
+        "j5_hash_match_join": j5_hash_match_join,
+        "window_turn_assembly": window_turn_assembly,
+        "sessionize": sessionize,
+        "a3_set_union": a3_set_union,
+        "a4_vote_argmax": a4_vote_argmax,
+        "a6_systematic_sample": a6_systematic_sample,
+        "f3_blacklist_filter": f3_blacklist_filter,
+        "c_string_chain": c_string_chain,
+        "c10_props_parse": c10_props_parse,
+        "tpch_q1_cents": tpch_q1_cents,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_ngram_pairs": dedup_ngram_pairs,
+        "text_quality_metrics": text_quality_metrics,
+        "lang_id_heuristic": lang_id_heuristic,
+        "fingerprint_docs": fingerprint_docs,
+        "ann_cosine_topk": ann_cosine_topk,
+        # rows-only (no oracle): iterative / engine-specific-hash operators
+        "kg_pipeline_triples": kg_pipeline_triples,
+        "kg_flagship_histogram": kg_flagship_histogram,
+        "minhash_neardup_docs": minhash_neardup_docs,
+        "simhash_neardup_docs": simhash_neardup_docs,
+        "ann_lsh_pairs_embeddings": ann_lsh_pairs_embeddings,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_PART_URI_SQL = "concat('http://ex.org/', p_brand, '#', replace(p_type, ' ', '_'))"
+_NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_text = _NORM_SQL.format(c="text")
+    return {
+        "q1_namespaces": f"""
+            SELECT DISTINCT CASE WHEN contains(uri, '#') THEN split_part(uri, '#', 1)
+                        ELSE regexp_replace(uri, '/[^/]*$', '') END AS ns
+            FROM (SELECT {_PART_URI_SQL} AS uri FROM part)
+            ORDER BY ns
+        """,
+        "q2_class_histogram": """
+            SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY 1
+            ORDER BY cnt DESC, k ASC LIMIT 1000
+        """,
+        "q3_property_histogram": """
+            SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS cnt
+            FROM orders WHERE o_orderstatus <> 'O'
+            GROUP BY 1 ORDER BY cnt DESC, priority ASC
+        """,
+        "q4_labels_semi_join": """
+            SELECT DISTINCT o_orderpriority AS lab FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            ORDER BY lab
+        """,
+        "q5_tld_histogram": """
+            SELECT regexp_extract(split_part(url, '/', 3), '([^.]+)$', 1) AS tld,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT concat('http://', lower(replace(s_name, '#', '')), '.',
+                         CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'org'
+                              WHEN 1 THEN 'net' ELSE 'io' END, '/x') AS url
+                  FROM supplier)
+            GROUP BY 1 ORDER BY tld
+        """,
+        "q8_license_pick": """
+            SELECT min(o_orderpriority) AS license FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "q11_dependent_join": """
+            SELECT DISTINCT c_mktsegment AS sbj
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE' ORDER BY sbj
+        """,
+        "q12_connections": """
+            SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS con FROM supplier
+            ORDER BY con LIMIT 1000
+        """,
+        "j1_outer_merge": """
+            SELECT coalesce(c_mktsegment, '?') AS segment,
+                   CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lonely
+            FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1 ORDER BY segment
+        """,
+        "j3_keep_last": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS last_event_id,
+                   event_type AS last_type
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY user_id
+        """,
+        "j4_containment_join": """
+            SELECT needle, CAST(count(*) AS BIGINT) AS cnt
+            FROM part, (SELECT lower(substr(r_name, 1, 1)) AS needle FROM region) r
+            WHERE contains(lower(p_type), needle)
+            GROUP BY needle ORDER BY needle
+        """,
+        "j5_hash_match_join": """
+            SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS cnt
+            FROM orders
+            JOIN customer ON sha256(concat('Customer#', lpad(CAST(o_custkey AS VARCHAR), 9, '0')))
+                           = sha256(c_name)
+            GROUP BY 1 ORDER BY segment
+        """,
+        "window_turn_assembly": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS rn
+            FROM events
+        """,
+        "sessionize": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                                 (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            )
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "a3_set_union": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "a4_vote_argmax": """
+            SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS winner
+            FROM (
+                SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+            )
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) = 1
+            ORDER BY user_id
+        """,
+        "a6_systematic_sample": """
+            SELECT CAST(event_id AS BIGINT) AS event_id, event_type
+            FROM (
+                SELECT event_id, event_type,
+                       row_number() OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS r
+                FROM events
+            ) WHERE (r - 1) % 100 = 0 ORDER BY event_id
+        """,
+        "f3_blacklist_filter": """
+            SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS cnt
+            FROM part
+            WHERE NOT regexp_matches(lower(p_type), 'econ|promo')
+            GROUP BY 1 ORDER BY brand
+        """,
+        "c_string_chain": f"""
+            SELECT CAST(p_partkey AS BIGINT) AS k,
+                   regexp_extract(uri, '([^#/]+)$', 1) AS local_name,
+                   sha256(p_name) AS h
+            FROM (SELECT p_partkey, p_name, {_PART_URI_SQL} AS uri FROM part
+                  WHERE p_partkey % 97 = 0)
+            ORDER BY k
+        """,
+        "c10_props_parse": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1 ORDER BY event_type
+        """,
+        "tpch_q1_cents": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dedup_exact_docs": f"""
+            SELECT sha256({norm_text}) AS text_hash,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+        """,
+        "dedup_ngram_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({norm_text}, ' ') AS t FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 2, 0) + 1),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), common AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   common / (sa.sz + sb.sz - common) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE common / (sa.sz + sb.sz - common) >= 0.5
+            ORDER BY a, b
+        """,
+        "text_quality_metrics": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+                   CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> list_contains(['the','a','of','and','to','is','in','that','it','for'], x))) AS BIGINT) AS n_stopwords_en
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_id_heuristic": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(hits AS BIGINT) AS en_hits,
+                   CASE WHEN hits > 0 THEN 'en' ELSE 'und' END AS lang_pred
+            FROM (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> list_contains(['the','a','of','and','to','is','in','that','it','for'], x))) AS hits
+                FROM documents
+            ) ORDER BY doc_id
+        """,
+        "fingerprint_docs": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   substr(sha256({norm_text}), 1, 16) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                       list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+                       / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                                list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                          * sqrt(list_dot_product(qv, qv))) AS sim
+                FROM embeddings, q WHERE vec_id <> 0
+            )
+            SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+    }

@@ -1,0 +1,216 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- exact: one hash-groupBy (map-side partial agg) — the cheapest pass, run
+  it first to shrink the corpus before any near-dup pass;
+- n-gram Jaccard: shingle-inverted-index self-join — shuffle key is the
+  shingle, so hot shingles are the skew risk; shingles above a document-
+  frequency cap are dropped (standard stop-shingle trick), which both
+  bounds skew and removes non-discriminative shingles;
+- MinHash+LSH: signature → bands → bucket join; candidate pairs verified
+  with exact Jaccard. All hashing via xxhash64 (JVM, deterministic);
+- SimHash: 64 codegen'd bit aggregates, no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^31-1: keeps a·x within int64 (a, x < 2^31 → product < 2^62), so the
+# modular hash runs under ANSI overflow checking without try_multiply.
+MERSENNE = (1 << 31) - 1
+
+
+def normalize_text(c):
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (post-normalization) texts: (text_hash,
+    n_dups, keep_id, dup_ids). keep_id = min id (deterministic survivor)."""
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    return (
+        df.select(F.col(id_col).alias("id"), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("id").alias("keep_id"),
+            F.array_sort(F.collect_list("id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct normalized text (min id survives)."""
+    w = Window.partitionBy(F.sha2(normalize_text(F.col(text_col)), 256)).orderBy(
+        F.col(id_col).asc()
+    )
+    return df.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # documents shorter than n tokens yield no shingles (not a short gram)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.8, max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard) by word-n-gram Jaccard.
+
+    Inverted-index plan: shingle → docs, self-join on shingle, count common
+    shingles per pair, Jaccard = common / (|A| + |B| - common). Shingles in
+    more than max_shingle_df docs are dropped (stop-shingles: kills both
+    the O(df²) pair blow-up and the shuffle skew of hot shingles)."""
+    sh = _shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    sh = sh.join(sdf.filter(F.col("df_") <= max_shingle_df), "shingle", "left_semi")
+    a = sh.select(F.col("id").alias("a"), "shingle")
+    b = sh.select(F.col("id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .withColumn("jaccard", F.col("common") / (F.col("sa") + F.col("sb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    num_perm: int = 64, seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — MinHash signature over word n-grams.
+
+    Permutations h_i(x) = (a_i·x + b_i) mod M61 with seeded (a_i, b_i);
+    base shingle hash = xxhash64 (JVM). Signature built with ONE groupBy:
+    array_agg of per-permutation mins via min(transform(...)) — no
+    per-permutation shuffle."""
+    import random
+
+    rnd = random.Random(seed)
+    perms = [(rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE)) for _ in range(num_perm)]
+    sh = _shingles(df, id_col, text_col, n)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE))
+    hashed = sh.withColumn(
+        "hs",
+        F.array(*[((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE)) for a, b in perms]),
+    )
+    agg = [F.min(F.col("hs")[i]).alias(f"m{i}") for i in range(num_perm)]
+    return (
+        hashed.groupBy("id")
+        .agg(*agg)
+        .select("id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: hash each band of the signature, bucket-join docs that
+    share any (band, band_hash) → candidate pairs (a, b). Estimated
+    Jaccard from full signatures attached for thresholding."""
+    assert bands * rows_per_band <= 1024
+    banded = sigs.select(
+        "id", "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(F.slice("sig", bi * rows_per_band + 1, rows_per_band).cast("string")).alias("bh"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.bh")
+    a = banded.select(F.col("id").alias("a"), F.col("sig").alias("siga"), "band", "bh")
+    b = banded.select(F.col("id").alias("b"), F.col("sig").alias("sigb"), "band", "bh")
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "siga", "sigb")
+        .distinct()
+    )
+    # estimated jaccard = fraction of equal signature positions
+    eq = F.aggregate(
+        F.zip_with("siga", "sigb", lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0), lambda acc, v: acc + v,
+    )
+    return pairs.select(
+        "a", "b", (eq / F.size("siga")).alias("est_jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    num_perm: int = 64, bands: int = 16, rows_per_band: int = 4,
+    threshold: float = 0.7, seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline → (a, b, est_jaccard ≥ threshold)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    return cand.filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over words, entirely JVM-side:
+    explode tokens, 64 codegen'd bit-sum aggregates, recombine."""
+    toks = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    bits = toks.groupBy("id").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(64):
+        acc = acc + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return bits.select("id", acc.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
+                       prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, blocked on
+    the top prefix_bits (documents differing in few bits usually share the
+    prefix; multi-table blocking is the production extension)."""
+    s = sim.withColumn("blk", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a = s.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "blk")
+    b = s.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

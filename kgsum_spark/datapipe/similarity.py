@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the correctness baseline — one scan, dot
+  product via zip_with/aggregate (JVM higher-order functions, no Python);
+- random-hyperplane LSH buckets: the scale path — sign-bit signatures
+  against seeded hyperplanes, candidates only within matching buckets
+  (multi-probe = several independent tables);
+- knn_join: top-k neighbors for a (small, broadcast) query set.
+
+All math in double with left-to-right accumulation so results are exactly
+reproducible (and DuckDB-oracle comparable after rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(c) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, query: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine against one query vector. ORDER is made
+    deterministic with id tiebreak; physical plan is TakeOrderedAndProject
+    (no global sort materialization)."""
+    q = F.lit(query).cast("array<double>")
+    v = _to_double(F.col(vec_col))
+    return (
+        df.select(F.col(id_col).alias("id"), cosine(v, q).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame, dim: int, n_planes: int = 16, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, bucket) — sign-bit signature against seeded random
+    hyperplanes, packed into one long bucket id."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
+    v = _to_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = dot(v, F.lit([float(x) for x in p]).cast("array<double>"))
+        bucket = bucket + F.when(
+            d >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
+    )
+
+
+def ann_lsh_pairs(
+    df: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
+    threshold: float = 0.8, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs near neighbors (a, b, sim ≥ threshold), candidates limited
+    to same-LSH-bucket pairs. Recall grows with more (seed-varied) tables
+    unioned upstream; one table here — the building block."""
+    sigs = hyperplane_signatures(df, dim, n_planes, seed, id_col, vec_col)
+    a = sigs.select(F.col("id").alias("a"), F.col("vec").alias("va"), "bucket")
+    b = sigs.select(F.col("id").alias("b"), F.col("vec").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", cosine(_to_double(F.col("va")), _to_double(F.col("vb"))))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
+def knn_join(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "vec_id", qvec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k corpus neighbors per query row. The query side is broadcast
+    (it's the small side by contract); ranking via per-query window."""
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "sim", cosine(_to_double(F.col("vec")), _to_double(F.col("qvec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("qid", "id", "sim", F.col("_r").alias("rank"))
+    )

