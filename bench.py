@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "turns_per_sec": ..., "cpus": ...}
+
+The headline metric (BASELINE.json) is turns/sec triple-extraction
+throughput, measured over a deterministic ~500k-turn synthetic transcript
+corpus (cached parquet under .cache/). Operator queries run at the sf dir.
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py, which shells out to this script at both levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from kgsum_spark.assembly import assemble_turns  # noqa: E402
+from kgsum_spark.extraction import extract_raw_triples  # noqa: E402
+from kgsum_spark.pipeline import run_pipeline  # noqa: E402
+from kgsum_spark.session import build_session  # noqa: E402
+from kgsum_spark.synth import write_corpus  # noqa: E402
+
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "380000"))  # ≈2M turns
+
+# operator headliners from the driver contract, timed via count()
+OPERATOR_QUERIES = [
+    "q2_class_histogram",
+    "tpch_q1_cents",
+    "window_turn_assembly",
+    "sessionize",
+    "j1_outer_merge",
+    "dedup_ngram_pairs",
+    "minhash_neardup_docs",
+    "simhash_neardup_docs",
+    "ann_cosine_topk",
+    "kg_flagship_histogram",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache", f"bench_corpus_{BENCH_CONVS}")
+    tpath, _ = write_corpus(cache, BENCH_CONVS, seed=42)
+
+    spark = build_session(
+        "kgsum_bench", cores=cpus, shuffle_partitions=cpus,
+        # split the (row-grouped) corpus file across cores at scan time
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+                    "spark.sql.files.openCostInBytes": "131072"},
+    )
+    timings: dict[str, float] = {}
+
+    # headline: triple-extraction throughput (window assembly + mapInPandas).
+    # One untimed warm-up pass spawns the python workers, JITs the scan and
+    # fills the page cache — the timed run measures steady-state throughput
+    # (what a long-running cluster job sees), not process startup.
+    # The timed corpus is the cached corpus replicated in-plan into distinct
+    # conversations (REPLICATE× more conv_ids): at ~16M turns the per-job
+    # fixed costs (~2 s of scheduling/scan setup) stop masking the scaling.
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "8"))
+    base = spark.read.parquet(tpath)
+    big = (
+        base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+        .withColumn("conv_id", F.concat("conv_id", F.lit("#"), F.col("rep").cast("string")))
+        .drop("rep")
+    )
+    extract_raw_triples(assemble_turns(base).drop("rn")).count()  # warm-up
+    n_turns = base.count() * replicate
+    t0 = time.time()
+    n_triples = extract_raw_triples(assemble_turns(big).drop("rn")).count()
+    extract_sec = time.time() - t0
+    transcripts = base
+    timings["extract"] = round(extract_sec, 3)
+    turns_per_sec = n_turns / extract_sec
+
+    # full pipeline (extraction → linking → CC → materialize), cold work dir
+    wd = f"/tmp/kgsum_bench_work_{cpus}"
+    shutil.rmtree(wd, ignore_errors=True)
+    t0 = time.time()
+    res = run_pipeline(spark, transcripts, wd, resume=False)
+    res.triples.count()
+    timings["kg_full_pipeline"] = round(time.time() - t0, 3)
+
+    qs = entry_mod.queries()
+    for name in OPERATOR_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "turns/sec triple-extraction throughput + headline query suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "turns_per_sec": round(turns_per_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

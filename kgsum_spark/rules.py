@@ -67,31 +67,34 @@ class Rule:
     pattern: str          # fullmatch pattern with 2 capture groups (subj, obj)
     obj_kind: str         # 'M' mention, 'I' iri, 'L' literal
     template: str         # generation template with {s} and {o}
+    anchor: str           # literal substring every match contains (prefilter)
 
 
 RULES: list[Rule] = [
-    Rule("isa", "rdf:type", rf"{_ENT} is a {_WORD}\.", "L", "{s} is a {o}."),
+    Rule("isa", "rdf:type", rf"{_ENT} is a {_WORD}\.", "L", "{s} is a {o}.",
+         " is a "),
     Rule("created_by", "dcterms:creator", rf"{_ENT} was created by {_ENT}\.", "M",
-         "{s} was created by {o}."),
-    Rule("same_as", "owl:sameAs", rf"{_ENT} same as {_URI}\.", "I", "{s} same as {o}."),
+         "{s} was created by {o}.", " was created by "),
+    Rule("same_as", "owl:sameAs", rf"{_ENT} same as {_URI}\.", "I",
+         "{s} same as {o}.", " same as "),
     Rule("aka", "owl:sameAs", rf"{_ENT} also known as {_ENT}\.", "M",
-         "{s} also known as {o}."),
+         "{s} also known as {o}.", " also known as "),
     Rule("titled", "dcterms:title", rf"{_ENT} titled {_QUOTED}\.", "L",
-         '{s} titled "{o}".'),
+         '{s} titled "{o}".', " titled "),
     Rule("described", "dcterms:description", rf"{_ENT} described as {_QUOTED}\.", "L",
-         '{s} described as "{o}".'),
+         '{s} described as "{o}".', " described as "),
     Rule("licensed", "dcterms:license", rf"{_ENT} licensed under {_URI}\.", "I",
-         "{s} licensed under {o}."),
+         "{s} licensed under {o}.", " licensed under "),
     Rule("subject", "dcterms:subject", rf"{_ENT} has subject {_WORD}\.", "L",
-         "{s} has subject {o}."),
+         "{s} has subject {o}.", " has subject "),
     Rule("keyword", "dcat:keyword", rf"{_ENT} tagged keyword {_WORD}\.", "L",
-         "{s} tagged keyword {o}."),
+         "{s} tagged keyword {o}.", " tagged keyword "),
     Rule("theme", "dcat:theme", rf"{_ENT} has theme {_WORD}\.", "L",
-         "{s} has theme {o}."),
+         "{s} has theme {o}.", " has theme "),
     Rule("vocab", "void:vocabulary", rf"{_ENT} uses vocabulary {_URI}\.", "I",
-         "{s} uses vocabulary {o}."),
+         "{s} uses vocabulary {o}.", " uses vocabulary "),
     Rule("identifier", "dcterms:identifier", rf"{_ENT} has identifier {_WORD}\.", "L",
-         "{s} has identifier {o}."),
+         "{s} has identifier {o}.", " has identifier "),
 ]
 
 RULES_BY_NAME = {r.name: r for r in RULES}

@@ -276,6 +276,11 @@ def write_corpus(out_dir: str, n_convs: int, seed: int = 42) -> tuple[str, str]:
         return tp, gp
     os.makedirs(out_dir, exist_ok=True)
     corpus = generate_corpus(n_convs, seed=seed)
-    corpus.transcripts.to_parquet(tp, index=False)
+    t = corpus.transcripts.copy()
+    # Spark's parquet reader rejects TIMESTAMP(NANOS); write microseconds.
+    # Small row groups keep the single file splittable — otherwise the scan
+    # is one task and serializes every downstream stage.
+    t["ts"] = t["ts"].astype("datetime64[us]")
+    t.to_parquet(tp, index=False, row_group_size=10_000)
     corpus.golden.to_parquet(gp, index=False)
     return tp, gp
