@@ -1,0 +1,146 @@
+"""NLP operators (SURVEY.md §2.10): normalization, mention/type detection,
+TF-IDF features, per-feature classifiers with voting.
+
+The reference runs spaCy/langdetect/sklearn row-at-a-time
+(/root/reference/src/preprocessing.py:89-223, src/pipeline_build.py:83-585).
+This container ships neither spaCy nor sklearn, so:
+- normalization (N2) and mention detection (N3) are pure JVM column
+  expressions (higher-order functions) — deterministic, no model files;
+- TF-IDF (N4) and classification (N5) use Spark ML (CountVectorizer/IDF/
+  NaiveBayes) — distributed versions of the reference's sklearn pipeline;
+- language ID (N1) lives in datapipe.textstats (stopword scoring,
+  deterministic — the reference pins langdetect's seed for the same goal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .datapipe.textstats import STOPWORDS
+from .operators.scalar import IS_URI_LOOSE
+
+# C6 — the reference's hybrid tokenizer: whitespace split; URI tokens kept
+# whole; other tokens re-split by \b\w\w+\b (/root/reference/src/pipeline_build.py:72-80).
+_WORD_RE = r"[A-Za-z0-9_]{2,}"
+
+
+def hybrid_tokenize(text: Column) -> Column:
+    """C6 as one JVM expression: split on whitespace, keep URI-ish tokens
+    whole, re-extract 2+-char word tokens from the rest, flatten."""
+    raw = F.split(F.trim(text), r"\s+")
+    return F.flatten(
+        F.transform(
+            raw,
+            lambda t: F.when(t.rlike(IS_URI_LOOSE), F.array(t)).otherwise(
+                F.regexp_extract_all(F.lower(t), F.lit(_WORD_RE), F.lit(0))
+            ),
+        )
+    )
+
+
+def normalize_tokens(text: Column, lang: str = "en") -> Column:
+    """N2 analog — lowercase word tokens minus stopwords/punct, with a
+    naive suffix stemmer standing in for lemmatization (spaCy pipeline
+    table at /root/reference/src/preprocessing.py:21-77; not shipped here,
+    and the correctness path deliberately avoids model-version drift —
+    SURVEY.md §7 hard-part 1)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS.get(lang, STOPWORDS["en"])])
+    toks = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z][a-z0-9]+"), F.lit(0))
+    kept = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    # order matters: longest suffix first; keep stems of length ≥ 3
+    stem = lambda t: F.regexp_replace(t, r"(ings?|eds?|ly|es|s)$", "")  # noqa: E731
+    return F.transform(kept, lambda t: F.when(F.length(stem(t)) >= 3, stem(t)).otherwise(t))
+
+
+# N3 — entity mention + coarse type detection. The reference extracts only
+# entity TYPES via spaCy NER (/root/reference/src/preprocessing.py:202-223);
+# the north_rule needs surface mentions too, so we emit (mention, ent_type).
+_MENTION_RE = r"\b[A-Z][\w-]*(?: [A-Z][\w-]*)*\b"
+_ORG_SUFFIX = ["Corp", "Labs", "Systems", "Group", "Institute", "Inc", "Ltd"]
+
+
+def detect_mentions(df: DataFrame, text_col: str = "text",
+                    out_col: str = "mention") -> DataFrame:
+    """Explode capitalized spans of `text_col` into mention rows with a
+    rule-based coarse type (ORG/ID/ABBR/MISC)."""
+    spans = F.regexp_extract_all(F.col(text_col), F.lit(_MENTION_RE), F.lit(0))
+    out = df.withColumn(out_col, F.explode(spans))
+    m = F.col(out_col)
+    suffix_hit = F.exists(
+        F.array(*[F.lit(s) for s in _ORG_SUFFIX]),
+        lambda s: m.endswith(F.concat(F.lit(" "), s)) | (m == s),
+    )
+    ent_type = (
+        F.when(m.rlike(r"\d"), F.lit("ID"))
+        .when(suffix_hit, F.lit("ORG"))
+        .when(m == F.upper(m), F.lit("ABBR"))
+        .otherwise(F.lit("MISC"))
+    )
+    return out.withColumn("ent_type", ent_type)
+
+
+def fit_tfidf(df: DataFrame, text_col: str, features_col: str = "features",
+              vocab_size: int = 10_000, min_df: int = 1):
+    """N4 — TF-IDF features with the hybrid tokenizer (reference params:
+    ngram 1-2, min_df 1, max_df .85, max_features 10k at
+    /root/reference/src/pipeline_build.py:83-104 and
+    src/autoencoder_pipeline.py:173-213). Returns (model, transformed_df).
+    Distributed fit: CountVectorizer + IDF (Spark ML)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, CountVectorizer
+
+    toks = df.withColumn("_toks", hybrid_tokenize(F.col(text_col)))
+    cv = CountVectorizer(inputCol="_toks", outputCol="_tf",
+                         vocabSize=vocab_size, minDF=float(min_df), maxDF=0.85)
+    idf = IDF(inputCol="_tf", outputCol=features_col)
+    model = Pipeline(stages=[cv, idf]).fit(toks)
+    return model, model.transform(toks).drop("_tf")
+
+
+def train_feature_classifier(df: DataFrame, text_col: str, label_col: str,
+                             seed: int = 42):
+    """N5 — one per-feature text classifier: tokenizer → CountVectorizer →
+    IDF → NaiveBayes (the reference's estimator grid includes NB at
+    /root/reference/src/pipeline_build.py:457-491; NB is the one with a
+    scalable exact distributed fit). Returns a fitted PipelineModel whose
+    output has `prediction_label` and `confidence`."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.feature import IDF, CountVectorizer, IndexToString, SQLTransformer, StringIndexer
+
+    tok = SQLTransformer(statement=(
+        "SELECT *, filter(split(lower(coalesce({c}, '')), '[^a-z0-9]+'), "
+        "x -> length(x) >= 2) AS _toks FROM __THIS__"
+    ).format(c=text_col))
+    cv = CountVectorizer(inputCol="_toks", outputCol="_tf", vocabSize=10_000)
+    idf = IDF(inputCol="_tf", outputCol="_features")
+    si = StringIndexer(inputCol=label_col, outputCol="_label", handleInvalid="keep")
+    nb = NaiveBayes(featuresCol="_features", labelCol="_label", smoothing=1.0)
+    i2s = IndexToString(inputCol="prediction", outputCol="prediction_label")
+    pipe = Pipeline(stages=[tok, cv, idf, si, nb, i2s])
+    model = pipe.fit(df)
+    # IndexToString needs the fitted labels
+    model.stages[-1].setLabels(model.stages[3].labelsArray[0])
+    return model
+
+
+def predict_category_multi(models: dict[str, object], df: DataFrame,
+                           id_col: str = "id") -> DataFrame:
+    """J7/A4 — per-feature fan-out + vote: run each feature's model, melt
+    the predictions, take the plurality label per row (ties lexicographic).
+    The reference does this row-at-a-time with df.apply
+    (/root/reference/src/pipeline_build.py:151-203); here each model pass is
+    a distributed job and the vote is one groupBy window."""
+    from .operators.agg import vote_argmax
+
+    parts = []
+    for feat, model in models.items():
+        pred = model.transform(df).select(
+            F.col(id_col), F.col("prediction_label").alias("label")
+        ).withColumn("feature", F.lit(feat))
+        parts.append(pred)
+    all_preds = parts[0]
+    for p in parts[1:]:
+        all_preds = all_preds.unionByName(p)
+    return vote_argmax(all_preds, id_col, "label", alias="category")

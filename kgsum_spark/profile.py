@@ -180,6 +180,54 @@ def connections(t: DataFrame, limit: int = 1000) -> DataFrame:
     )
 
 
+# S7 — which profile feature becomes which predicate, mirroring the INSERT
+# DATA batches of store_profile (/root/reference/src/generate_profile.py:
+# 240-300 main, :307-335 vocab+keyword, :338-357 subject).
+PROFILE_TRIPLE_SPEC = [
+    # (profile column, predicate, obj_is_iri)
+    ("dsc", "dcterms:description", False),
+    ("creator", "dcterms:creator", False),
+    ("license", "dcterms:license", True),
+    ("sparql", "void:sparqlEndpoint", True),
+    ("voc", "void:vocabulary", True),
+    ("con", "owl:sameAs", True),
+    ("sbj", "dcterms:subject", False),
+    ("lab", "dcat:keyword", False),
+    ("tlds", "dcat:theme", False),
+]
+
+
+def profile_to_triples(profile_df: DataFrame,
+                       base_iri: str = "http://kgsum.example/dataset/") -> DataFrame:
+    """S7 — materialize a profile row as (subj, pred, obj) triples, the
+    columnar analog of the reference's three SPARQL INSERT DATA batches
+    (/root/reference/src/generate_profile.py:240-357). Literal escaping is
+    unnecessary (columnar sink); IRI-vs-literal is the obj_is_iri flag.
+    One declarative unpivot: per-spec explode, unioned."""
+    ds = F.concat(F.lit(base_iri), F.col("id"))
+    parts = [
+        profile_df.select(
+            ds.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.lit("dcat:Dataset").alias("obj"), F.lit(True).alias("obj_is_iri"),
+        ),
+        profile_df.filter(F.col("title") != "").select(
+            ds.alias("subj"), F.lit("dcterms:title").alias("pred"),
+            F.col("title").alias("obj"), F.lit(False).alias("obj_is_iri"),
+        ),
+    ]
+    for col, pred, is_iri in PROFILE_TRIPLE_SPEC:
+        parts.append(
+            profile_df.select(ds.alias("subj"), F.explode(col).alias("obj"))
+            .filter(F.col("obj") != "")
+            .select("subj", F.lit(pred).alias("pred"), "obj",
+                    F.lit(is_iri).alias("obj_is_iri"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def build_profile(t: DataFrame, profile_id: str = "graph") -> DataFrame:
     """Assemble the one-row profile record (keys mirror
     /root/reference/src/dataset_preparation.py:415-431): each feature list

@@ -1,0 +1,87 @@
+"""Structured Streaming ingestion: incremental transcript → triples.
+
+The reference is batch-only; its closest analogs are incremental shard
+writing with skip-if-exists resume and chunked offset batching
+(SURVEY.md §2.11, /root/reference/src/dataset_preparation.py:530-594,
+config.py:33-34). Those map to exactly what Structured Streaming's
+checkpointed micro-batches give us for free: each micro-batch is a
+resumable shard with recorded offsets.
+
+Two modes:
+- `streaming_extraction`: stateless stream → mapInPandas extraction →
+  append sink. No window needed (extraction is per-turn); ordering-
+  dependent work stays in batch.
+- `streaming_extraction_foreach_batch`: per-micro-batch full stage-1
+  (window turn-assembly included — windows are legal on the batch df
+  inside foreachBatch), appended to the triples table. This is the mode a
+  production incremental pipeline uses; canonicalization stays a periodic
+  batch job over the accumulated raw triples.
+
+Windowed-aggregate example with watermarking included for the streaming-
+analytics surface (triples/minute per predicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .assembly import assemble_turns
+from .extraction import extract_raw_triples
+
+
+def stream_transcripts(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_extraction(stream: DataFrame, out_path: str,
+                         checkpoint: str):
+    """Stateless streaming extraction: turns stream → triples appended.
+    Returns the started StreamingQuery (caller triggers/awaits)."""
+    triples = extract_raw_triples(stream)
+    return (
+        triples.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_extraction_foreach_batch(stream: DataFrame, out_path: str,
+                                       checkpoint: str):
+    """Per-micro-batch stage-1 with window turn assembly (legal inside
+    foreachBatch), exactly-once via the streaming checkpoint."""
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        raw = extract_raw_triples(assemble_turns(batch).drop("rn"))
+        raw.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def turns_per_window(stream: DataFrame, window: str = "5 minutes",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Streaming windowed aggregate with late-data watermark: turns and
+    triple-bearing turns per event-time window per role."""
+    anchored = F.col("text").rlike(" is a | was created by | same as ")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("role"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(anchored, 1).otherwise(0)).alias("n_triple_turns"),
+        )
+    )
