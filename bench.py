@@ -82,11 +82,15 @@ def main() -> None:
     )
     extract_raw_triples(assemble_turns(base).drop("rn")).count()  # warm-up
     n_turns = base.count() * replicate
-    t0 = time.time()
-    n_triples = extract_raw_triples(assemble_turns(big).drop("rn")).count()
-    extract_sec = time.time() - t0
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        n_triples = extract_raw_triples(assemble_turns(big).drop("rn")).count()
+        runs.append(time.time() - t0)
+    extract_sec = sorted(runs)[1]  # median of 3 — single runs are too noisy
     transcripts = base
     timings["extract"] = round(extract_sec, 3)
+    extract_runs = [round(r, 3) for r in runs]
     turns_per_sec = n_turns / extract_sec
 
     # full pipeline (extraction → linking → CC → materialize), cold work dir
@@ -114,6 +118,7 @@ def main() -> None:
         "n_turns": n_turns,
         "n_triples": n_triples,
         "turns_per_sec": round(turns_per_sec, 1),
+        "extract_runs": extract_runs,
     }))
 
 

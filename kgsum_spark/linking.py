@@ -72,8 +72,13 @@ def sameas_edges(raw_triples: DataFrame) -> DataFrame:
     )
 
 
-def all_edges(mentions: DataFrame, raw_triples: DataFrame) -> DataFrame:
-    norms = distinct_norms(mentions)
+def all_edges(mentions: DataFrame, raw_triples: DataFrame,
+              norms: DataFrame | None = None) -> DataFrame:
+    """similarity ∪ sameAs edges. Pass a pre-materialized `norms`
+    (distinct_norms output, e.g. localCheckpointed) to avoid recomputing
+    the mention scan for the similarity side."""
+    if norms is None:
+        norms = distinct_norms(mentions)
     return similarity_edges(norms).unionByName(sameas_edges(raw_triples)).distinct()
 
 

@@ -118,9 +118,14 @@ def run_pipeline(
         metrics["resumed"].append("entities")
     else:
         mentions = mentions_from_raw(raw)
-        norms = mentions.select("norm").distinct()
-        edges = all_edges(mentions, raw)
-        entities = canonical_map(norms, edges)
+        # the vocabulary and edge frames are tiny (distinct norms, not
+        # occurrences) — materialize each once instead of rescanning the
+        # raw-triples parquet for every consumer
+        from .linking import distinct_norms
+
+        norms_tok = distinct_norms(mentions).localCheckpoint()
+        edges = all_edges(mentions, raw, norms=norms_tok).localCheckpoint()
+        entities = canonical_map(norms_tok.select("norm"), edges)
         metrics["stages"]["entities"] = _write_stage(entities, work_dir, "entities")
         entities = _read_stage(spark, work_dir, "entities")
 

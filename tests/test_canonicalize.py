@@ -42,3 +42,23 @@ def test_canonical_map_mint(spark):
     edf = spark.createDataFrame([("zorblax labs", "zorblax")], "a string, b string")
     got = {r["norm"]: r["canonical_id"] for r in canonical_map(ndf, edf).collect()}
     assert got == {"zorblax labs": "ent:zorblax", "zorblax": "ent:zorblax"}
+
+
+def test_distributed_loop_matches_driver_cc(spark):
+    """Force the distributed path (threshold=0) and assert identical labels."""
+    import random
+
+    from kgsum_spark.canonicalize import connected_components
+
+    rnd = random.Random(9)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(0, 40)]          # long chain
+    edges += [(f"n{rnd.randrange(60, 120):03d}", f"n{rnd.randrange(60, 120):03d}")
+              for _ in range(40)]                                          # random clumps
+    ndf = spark.createDataFrame([(n,) for n in nodes], "norm string")
+    edf = spark.createDataFrame(edges, "a string, b string")
+    dist = {r["norm"]: r["label"] for r in
+            connected_components(ndf, edf, driver_threshold=0).collect()}
+    drv = {r["norm"]: r["label"] for r in
+           connected_components(ndf, edf, driver_threshold=10**9).collect()}
+    assert dist == drv
