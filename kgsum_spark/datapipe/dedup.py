@@ -26,6 +26,19 @@ def normalize_text(c):
     return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Widen under-partitioned inputs before a cardinality-exploding stage.
+
+    A small parquet file arrives as 1-2 scan partitions; exploding it into
+    shingles/tokens would then run on 1-2 cores. One cheap shuffle of the
+    narrow input buys a fully parallel explode. No-op when the input is
+    already at least as wide as the cluster (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (post-normalization) texts: (text_hash,
     n_dups, keep_id, dup_ids). keep_id = min id (deterministic survivor)."""
@@ -52,6 +65,7 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) — distinct word n-grams per document."""
+    df = _spread(df, id_col)
     toks = F.split(normalize_text(F.col(text_col)), " ")
     # documents shorter than n tokens yield no shingles (not a short gram)
     grams = F.when(
@@ -114,12 +128,12 @@ def minhash_signatures(
     rnd = random.Random(seed)
     perms = [(rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE)) for _ in range(num_perm)]
     sh = _shingles(df, id_col, text_col, n)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE))
-    hashed = sh.withColumn(
-        "hs",
-        F.array(*[((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE)) for a, b in perms]),
-    )
-    agg = [F.min(F.col("hs")[i]).alias(f"m{i}") for i in range(num_perm)]
+    hashed = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)))
+    # aggregate the permuted mins directly — no per-row 64-element array
+    agg = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE)).alias(f"m{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
     return (
         hashed.groupBy("id")
         .agg(*agg)
@@ -179,8 +193,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: bigint) — 64-bit SimHash over words, entirely JVM-side:
     explode tokens, 64 codegen'd bit-sum aggregates, recombine."""
     toks = (
-        df.select(F.col(id_col).alias("id"),
-                  F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("id"),
+                F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .withColumn("h", F.xxhash64("tok"))
     )

@@ -21,6 +21,15 @@ def _to_double(c) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Widen under-partitioned inputs before per-row vector math (see
+    datapipe.dedup._spread)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def dot(a, b) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -45,7 +54,8 @@ def cosine_topk(
     q = F.lit(query).cast("array<double>")
     v = _to_double(F.col(vec_col))
     return (
-        df.select(F.col(id_col).alias("id"), cosine(v, q).alias("sim"))
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("id"), cosine(v, q).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("id").asc())
         .limit(k)
     )
@@ -60,6 +70,7 @@ def hyperplane_signatures(
     import numpy as np
 
     planes = np.random.RandomState(seed).normal(size=(n_planes, dim))
+    df = _spread(df, id_col)
     v = _to_double(F.col(vec_col))
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
