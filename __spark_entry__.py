@@ -389,6 +389,94 @@ def ann_cosine_topk(spark, sf):
     )
 
 
+def grouped_user_stats(spark, sf):
+    """applyInPandas grouped-map operator verified against SQL (§2.12)."""
+    from kgsum_spark.operators.grouped import group_event_stats
+
+    return group_event_stats(_t(spark, sf, "events")).orderBy("group_key")
+
+
+def dedup_exact_events(spark, sf):
+    e = _t(spark, sf, "events")
+    out = dd.exact_duplicates(e.withColumnRenamed("props", "text"), "event_id", "text")
+    return out.select(
+        "text_hash",
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+    ).orderBy("text_hash")
+
+
+def knn_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 3)
+    out = sim.knn_join(e.filter(F.col("vec_id") >= 3), queries_df, k=5)
+    return out.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("id").cast("bigint").alias("nbr_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+    ).orderBy("qid", "rank")
+
+
+def pivot_event_matrix(spark, sf):
+    e = _t(spark, sf, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .pivot("event_type", kinds).count().na.fill(0)
+    )
+    return out.select(
+        "user_id", *[F.col(k).cast("bigint").alias(k) for k in kinds]
+    ).orderBy("user_id")
+
+
+def rollup_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_last(),
+                 F.col("o_orderpriority").asc_nulls_last())
+    )
+
+
+def f1_category_exclusion(spark, sf):
+    from kgsum_spark.operators.filters import category_exclusion
+
+    o = _t(spark, sf, "orders").withColumn(
+        "category", F.concat(F.lit("  "), F.col("o_orderpriority"), F.lit(" "))
+    )
+    kept = category_exclusion(o, "category", excluded="1-URGENT")
+    return (
+        kept.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("status")
+    )
+
+
+def c10_json_parse(spark, sf):
+    e = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(F.sum(k).cast("bigint").alias("sum_k"),
+             F.max(k).cast("bigint").alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+def o4_first_valid(spark, sf):
+    from kgsum_spark.operators.scalar import first_valid_uri
+
+    p = _t(spark, sf, "part")
+    uri = F.expr(_PART_URI)
+    arr = F.when(F.col("p_partkey") % 3 == 0, F.array(F.lit(""), F.col("p_name"))) \
+        .otherwise(F.array(F.lit(""), F.col("p_name"), uri))
+    return p.select(
+        F.col("p_partkey").cast("bigint").alias("k"),
+        first_valid_uri(arr).alias("picked"),
+    ).orderBy("k")
+
+
 # --- rows-only entries (non-SQL-expressible: iterative CC, xxhash LSH) ----
 
 def kg_pipeline_triples(spark, sf):
@@ -477,6 +565,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": lang_id_heuristic,
         "fingerprint_docs": fingerprint_docs,
         "ann_cosine_topk": ann_cosine_topk,
+        "grouped_user_stats": grouped_user_stats,
+        "dedup_exact_events": dedup_exact_events,
+        "knn_topk": knn_topk,
+        "pivot_event_matrix": pivot_event_matrix,
+        "rollup_orders": rollup_orders,
+        "f1_category_exclusion": f1_category_exclusion,
+        "c10_json_parse": c10_json_parse,
+        "o4_first_valid": o4_first_valid,
         # rows-only (no oracle): iterative / engine-specific-hash operators
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_flagship_histogram": kg_flagship_histogram,
@@ -688,6 +784,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    substr(sha256({norm_text}), 1, 16) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        "grouped_user_stats": """
+            SELECT CAST(user_id AS BIGINT) AS group_key,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(min(first_id) AS BIGINT) AS first_event_id,
+                   CAST(min(last_id) AS BIGINT) AS last_event_id
+            FROM (
+                SELECT user_id, event_type,
+                       first_value(event_id) OVER w AS first_id,
+                       last_value(event_id) OVER
+                           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            )
+            GROUP BY user_id ORDER BY group_key
+        """,
+        "dedup_exact_events": """
+            SELECT sha256(trim(regexp_replace(lower(props), '[^a-z0-9]+', ' ', 'g'))) AS text_hash,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   CAST(min(event_id) AS BIGINT) AS keep_id
+            FROM events GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+        """,
+        "knn_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+                SELECT q.qid, e.vec_id AS nbr_id,
+                       list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                       / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                                list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+                FROM embeddings e, q WHERE e.vec_id >= 3
+            )
+            SELECT CAST(qid AS BIGINT) AS qid, CAST(nbr_id AS BIGINT) AS nbr_id,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nbr_id ASC) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY qid, rank
+        """,
+        "pivot_event_matrix": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus ASC NULLS LAST, o_orderpriority ASC NULLS LAST
+        """,
+        "f1_category_exclusion": """
+            SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS cnt
+            FROM orders
+            WHERE trim(coalesce(concat('  ', o_orderpriority, ' '), '')) <> '1-URGENT'
+            GROUP BY 1 ORDER BY status
+        """,
+        "c10_json_parse": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY 1 ORDER BY event_type
+        """,
+        "o4_first_valid": f"""
+            SELECT CAST(p_partkey AS BIGINT) AS k,
+                   CASE WHEN p_partkey % 3 = 0 THEN p_name
+                        ELSE {_PART_URI_SQL} END AS picked
+            FROM part ORDER BY k
         """,
         "ann_cosine_topk": """
             WITH q AS (
