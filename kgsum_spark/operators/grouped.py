@@ -22,9 +22,18 @@ def group_event_stats(df: DataFrame, key: str = "user_id",
                       order_cols: tuple[str, str] = ("ts", "event_id"),
                       type_col: str = "event_type") -> DataFrame:
     """Per-group session stats via applyInPandas: event count, distinct
-    types, first/last event id under stable (ts, id) ordering. Chosen to be
-    SQL-expressible so the DuckDB oracle can verify the grouped-map plumbing
-    end-to-end (ordering inside groups, Arrow round-trip, key handling)."""
+    types, first/last id under stable `order_cols` ordering (the id column
+    is order_cols[1]). Chosen to be SQL-expressible so the DuckDB oracle can
+    verify the grouped-map plumbing end-to-end (ordering inside groups,
+    Arrow round-trip, key handling).
+
+    Rows with a null group key are dropped up front: a null key would reach
+    the pandas worker as NaN and fail the integer cast mid-job; dropping is
+    the explicit policy (callers wanting a null-key bucket should fillna a
+    sentinel first)."""
+    from pyspark.sql import functions as F
+
+    id_col = order_cols[1]
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(list(order_cols), kind="mergesort")
@@ -33,12 +42,16 @@ def group_event_stats(df: DataFrame, key: str = "user_id",
                 "group_key": [int(pdf[key].iloc[0])],
                 "n_events": [len(pdf)],
                 "n_types": [pdf[type_col].nunique()],
-                "first_event_id": [int(pdf["event_id"].iloc[0])],
-                "last_event_id": [int(pdf["event_id"].iloc[-1])],
+                "first_event_id": [int(pdf[id_col].iloc[0])],
+                "last_event_id": [int(pdf[id_col].iloc[-1])],
             }
         )
 
-    return df.groupBy(key).applyInPandas(per_group, schema=GROUP_STATS_SCHEMA)
+    return (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .applyInPandas(per_group, schema=GROUP_STATS_SCHEMA)
+    )
 
 
 def dialogue_features(transcripts: DataFrame) -> DataFrame:

@@ -32,3 +32,17 @@ def test_dialogue_features(spark, transcripts_df, corpus):
     assert feats[conv]["n_turns"] == int(sizes[conv])
     assert feats[conv]["total_chars"] > 0
     assert feats[conv]["span_sec"] >= 0.0
+
+
+def test_group_event_stats_null_keys_and_custom_id(spark):
+    rows = [
+        (10, 1, 1, "click"),
+        (11, 2, 1, "view"),
+        (99, 1, None, "error"),   # null group key → dropped by policy
+    ]
+    df = spark.createDataFrame(
+        rows, "msg_id long, seq long, conv long, event_type string")
+    out = group_event_stats(df, key="conv", order_cols=("seq", "msg_id")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["group_key"] == 1 and r["first_event_id"] == 10 and r["last_event_id"] == 11
