@@ -107,9 +107,11 @@ def run_pipeline(
         raw = _read_stage(spark, work_dir, "raw_triples")
         metrics["resumed"].append("raw_triples")
     else:
+        t0 = time.time()
         turns = assemble_turns(transcripts)
         raw = extract_raw_triples(turns.drop("rn"))
         metrics["stages"]["raw_triples"] = _write_stage(raw, work_dir, "raw_triples")
+        metrics["stages"]["raw_triples"]["stage_wall_sec"] = round(time.time() - t0, 3)
         raw = _read_stage(spark, work_dir, "raw_triples")
 
     # stage 2: linking + canonicalization ---------------------------------
@@ -117,6 +119,7 @@ def run_pipeline(
         entities = _read_stage(spark, work_dir, "entities")
         metrics["resumed"].append("entities")
     else:
+        t0 = time.time()
         mentions = mentions_from_raw(raw)
         # the vocabulary and edge frames are tiny (distinct norms, not
         # occurrences) — materialize each once instead of rescanning the
@@ -127,6 +130,7 @@ def run_pipeline(
         edges = all_edges(mentions, raw, norms=norms_tok).localCheckpoint()
         entities = canonical_map(norms_tok.select("norm"), edges)
         metrics["stages"]["entities"] = _write_stage(entities, work_dir, "entities")
+        metrics["stages"]["entities"]["stage_wall_sec"] = round(time.time() - t0, 3)
         entities = _read_stage(spark, work_dir, "entities")
 
     # stage 3: canonical triple materialization ---------------------------
@@ -134,6 +138,7 @@ def run_pipeline(
         triples = _read_stage(spark, work_dir, "triples")
         metrics["resumed"].append("triples")
     else:
+        t0 = time.time()
         norm_expr = lambda c: F.trim(  # noqa: E731
             F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")
         )
@@ -169,6 +174,7 @@ def run_pipeline(
         metrics["stages"]["triples"] = _write_stage(
             triples, work_dir, "triples", partition_by=["pred"]
         )
+        metrics["stages"]["triples"]["stage_wall_sec"] = round(time.time() - t0, 3)
         triples = _read_stage(spark, work_dir, "triples")
 
     return PipelineResult(triples=triples, metrics=metrics)

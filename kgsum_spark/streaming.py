@@ -72,6 +72,47 @@ def streaming_extraction_foreach_batch(stream: DataFrame, out_path: str,
     )
 
 
+def stateful_conversation_progress(stream: DataFrame):
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    conversation, maintain running (n_turns, n_triple_turns, max_turn_idx)
+    state across micro-batches and emit the updated row each time the
+    conversation receives turns. State survives restarts via the streaming
+    checkpoint — the streaming twin of the batch pipeline's resume markers.
+    """
+    import pandas as pd  # noqa: F401
+
+    out_schema = ("conv_id string, n_turns long, n_triple_turns long, "
+                  "max_turn_idx int")
+    state_schema = "n_turns long, n_triple_turns long, max_turn_idx int"
+
+    def update(key, pdfs, state):
+        n_turns, n_triple, max_idx = (
+            state.get if state.exists else (0, 0, -1)
+        )
+        anchored = (" is a ", " was created by ", " same as ", " also known as ")
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            txt = pdf["text"].fillna("")
+            n_triple += int(txt.apply(lambda s: any(a in s for a in anchored)).sum())
+            if len(pdf):
+                max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_triple, max_idx))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n_turns],
+             "n_triple_turns": [n_triple], "max_turn_idx": [max_idx]}
+        )
+
+    return (
+        stream.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+
+
 def turns_per_window(stream: DataFrame, window: str = "5 minutes",
                      watermark: str = "10 minutes") -> DataFrame:
     """Streaming windowed aggregate with late-data watermark: turns and

@@ -63,3 +63,61 @@ def test_turns_per_window_agg(spark, stream_src, tmp_path):
     rows = spark.sql("SELECT * FROM winagg").collect()
     assert len(rows) > 0
     assert all(r["n_turns"] >= r["n_triple_turns"] for r in rows)
+
+
+def test_stateful_conversation_progress_across_restarts(spark, stream_src, tmp_path):
+    """applyInPandasWithState: running per-conversation counters accumulate
+    across micro-batches AND across a query restart (state from checkpoint)."""
+    import shutil
+
+    path, c = stream_src
+    ck = str(tmp_path / "state_ck")
+    out_path = str(tmp_path / "state_out")
+
+    def run_once():
+        # memory sink can't recover from a checkpoint; foreachBatch+parquet
+        # is the restart-capable sink
+        def sink(batch, epoch_id):
+            batch.write.mode("append").parquet(out_path)
+
+        stream = streaming.stream_transcripts(spark, path, max_files_per_trigger=2)
+        out = streaming.stateful_conversation_progress(stream)
+        q = (out.writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    emitted = spark.read.parquet(out_path)
+    final = {
+        r["conv_id"]: r["n"]
+        for r in emitted.groupBy("conv_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["max"]).max("n_turns").alias("n")
+        ).collect()
+    }
+    truth = c.transcripts.groupby("conv_id").size().to_dict()
+    assert final == truth
+
+    # restart with the same checkpoint and MORE data appended: only the new
+    # files are processed; counters for existing convs resume from state
+    from kgsum_spark.synth import generate_corpus
+    from kgsum_spark import schemas
+
+    extra = generate_corpus(n_convs=10, seed=77)
+    spark.createDataFrame(extra.transcripts, schema=schemas.TRANSCRIPTS) \
+        .write.mode("append").parquet(path)
+    run_once()
+    emitted2 = spark.read.parquet(out_path)
+    final2 = {
+        r["conv_id"]: r["n"]
+        for r in emitted2.groupBy("conv_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["max"]).max("n_turns").alias("n")
+        ).collect()
+    }
+    # seed-77 reuses the conv-0000000x id range → those conversations are
+    # CONTINUATIONS: state must resume from the checkpoint and add the new
+    # turns (13 base + 12 new = 25), exactly what a live transcript feed does
+    truth2 = dict(truth)
+    for cid, n in extra.transcripts.groupby("conv_id").size().to_dict().items():
+        truth2[cid] = truth2.get(cid, 0) + n
+    assert final2 == truth2
