@@ -464,6 +464,39 @@ def c10_json_parse(spark, sf):
     )
 
 
+def a8_classification_metrics(spark, sf):
+    """Relational P/R/F1 (A8) — synthetic (label, pred) pairs from events."""
+    from kgsum_spark.operators.agg import classification_metrics
+
+    e = _t(spark, sf, "events").select(
+        F.col("event_type").alias("label"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("click"))
+        .otherwise(F.col("event_type")).alias("pred"),
+    )
+    m = classification_metrics(e, "label", "pred")
+    return m.select(
+        "cls",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("support").cast("bigint").alias("support"),
+        F.col("predicted").cast("bigint").alias("predicted"),
+        "precision", "recall", "f1",
+    ).orderBy("cls")
+
+
+def j3_union_keep_last(spark, sf):
+    """J3 — vertical concat of two shards + keep-last dedup on the key."""
+    from kgsum_spark.operators.joins import union_keep_last
+
+    o = _t(spark, sf, "orders")
+    shard1 = o.select(F.col("o_orderkey").alias("id"),
+                      F.col("o_orderpriority").alias("v"))
+    shard2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id"), F.lit("OVERRIDDEN").alias("v")
+    )
+    out = union_keep_last([shard1, shard2], "id")
+    return out.select(F.col("id").cast("bigint").alias("id"), "v").orderBy("id")
+
+
 def o4_first_valid(spark, sf):
     from kgsum_spark.operators.scalar import first_valid_uri
 
@@ -573,6 +606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_category_exclusion": f1_category_exclusion,
         "c10_json_parse": c10_json_parse,
         "o4_first_valid": o4_first_valid,
+        "a8_classification_metrics": a8_classification_metrics,
+        "j3_union_keep_last": j3_union_keep_last,
         # rows-only (no oracle): iterative / engine-specific-hash operators
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_flagship_histogram": kg_flagship_histogram,
@@ -852,6 +887,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY 1 ORDER BY event_type
+        """,
+        "a8_classification_metrics": """
+            WITH pairs AS (
+                SELECT event_type AS label,
+                       CASE WHEN event_id % 7 = 0 THEN 'click' ELSE event_type END AS pred,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), tp AS (
+                SELECT label AS cls, n AS tp FROM pairs WHERE label = pred
+            ), actual AS (
+                SELECT label AS cls, sum(n) AS support FROM pairs GROUP BY 1
+            ), predicted AS (
+                SELECT pred AS cls, sum(n) AS predicted FROM pairs GROUP BY 1
+            ), m AS (
+                SELECT coalesce(a.cls, p.cls) AS cls,
+                       CAST(coalesce(t.tp, 0) AS BIGINT) AS tp,
+                       CAST(coalesce(a.support, 0) AS BIGINT) AS support,
+                       CAST(coalesce(p.predicted, 0) AS BIGINT) AS predicted
+                FROM actual a
+                FULL OUTER JOIN predicted p ON a.cls = p.cls
+                LEFT JOIN tp t ON coalesce(a.cls, p.cls) = t.cls
+            )
+            SELECT cls, tp, support, predicted,
+                   tp / greatest(predicted, 1) AS precision,
+                   tp / greatest(support, 1) AS recall,
+                   CASE WHEN tp / greatest(predicted, 1) + tp / greatest(support, 1) > 0
+                        THEN 2 * (tp / greatest(predicted, 1)) * (tp / greatest(support, 1))
+                             / (tp / greatest(predicted, 1) + tp / greatest(support, 1))
+                        ELSE 0.0 END AS f1
+            FROM m ORDER BY cls
+        """,
+        "j3_union_keep_last": """
+            SELECT CAST(id AS BIGINT) AS id, v FROM (
+                SELECT o_orderkey AS id, o_orderpriority AS v, 0 AS rank_ FROM orders
+                UNION ALL
+                SELECT o_orderkey AS id, 'OVERRIDDEN' AS v, 1 AS rank_
+                FROM orders WHERE o_orderkey % 2 = 0
+            )
+            QUALIFY row_number() OVER (PARTITION BY id ORDER BY rank_ DESC) = 1
+            ORDER BY id
         """,
         "o4_first_valid": f"""
             SELECT CAST(p_partkey AS BIGINT) AS k,
