@@ -125,6 +125,33 @@ def train_feature_classifier(df: DataFrame, text_col: str, label_col: str,
     return model
 
 
+def train_multiple_models(df: DataFrame, feature_cols: list[str],
+                          label_col: str, seed: int = 42) -> dict[str, object]:
+    """N9 — per-feature multi-model orchestration: one fitted classifier
+    per feature column (train_multiple_models,
+    /root/reference/src/pipeline_build.py:239-285). The driver loop is
+    intentional — each fit is a distributed Spark ML job."""
+    return {
+        feat: train_feature_classifier(df, feat, label_col, seed=seed)
+        for feat in feature_cols
+    }
+
+
+def save_models(models: dict[str, object], base_path: str) -> None:
+    """S8 — model store: Spark ML native save (replaces the reference's
+    pickles, /root/reference/src/pipeline_build.py:851-889)."""
+    for feat, model in models.items():
+        model.write().overwrite().save(f"{base_path}/{feat}")
+
+
+def load_models(spark, base_path: str, feature_cols: list[str]) -> dict[str, object]:
+    """S8 — load-else-train counterpart
+    (/root/reference/src/predict_category.py:36-48)."""
+    from pyspark.ml import PipelineModel
+
+    return {feat: PipelineModel.load(f"{base_path}/{feat}") for feat in feature_cols}
+
+
 def predict_category_multi(models: dict[str, object], df: DataFrame,
                            id_col: str = "id") -> DataFrame:
     """J7/A4 — per-feature fan-out + vote: run each feature's model, melt

@@ -43,6 +43,17 @@ def tld_of(url: Column) -> Column:
     return F.substring_index(host_of(url), ".", -1)
 
 
+def analyze_uri(uri: Column) -> Column:
+    """C3 — struct(namespace, local_name, tld) in one pass
+    (/root/reference/src/preprocessing.py:147-165 does three regex
+    searches per URI; here three codegen'd extracts in one projection)."""
+    return F.struct(
+        namespace_of(uri).alias("namespace"),
+        local_name_of(uri).alias("local_name"),
+        tld_of(uri).alias("tld"),
+    )
+
+
 def is_uri_strict(s: Column) -> Column:
     return s.rlike(IS_URI_STRICT)
 

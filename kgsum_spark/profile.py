@@ -180,6 +180,30 @@ def connections(t: DataFrame, limit: int = 1000) -> DataFrame:
     )
 
 
+def has_any(t: DataFrame) -> bool:
+    """Q16 — liveness/existence probe: `SELECT ?s ?p ?o LIMIT 1`
+    (/root/reference/src/util.py:67-89). limit(1) short-circuits the scan."""
+    return t.limit(1).count() > 0
+
+
+def existence_fallback(primary: DataFrame, fallback: DataFrame) -> DataFrame:
+    """Q13 — probe-then-fallback: use `primary` iff it has rows, else
+    `fallback` (async_has_void_file's one-level re-query,
+    /root/reference/src/dataset_preparation_remote.py:293-318). The probe
+    is one limit(1) job; at scale prefer unioning with a source-rank column
+    when both sides must be scanned anyway."""
+    return primary if has_any(primary) else fallback
+
+
+def enrich_with_lookup(df: DataFrame, lookup: DataFrame, on: str,
+                       how: str = "left") -> DataFrame:
+    """Q14/Q15 — LOV keyword/comment point-lookups
+    (/root/reference/src/lov_data_preparation.py:131-184): the reference's
+    per-URI HTTP loop becomes ONE broadcast join against the small lookup
+    table."""
+    return df.join(F.broadcast(lookup), on, how)
+
+
 # S7 — which profile feature becomes which predicate, mirroring the INSERT
 # DATA batches of store_profile (/root/reference/src/generate_profile.py:
 # 240-300 main, :307-335 vocab+keyword, :338-357 subject).

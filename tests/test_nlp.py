@@ -67,3 +67,23 @@ def test_classifier_and_vote(spark):
     voted = {r["id"]: r["category"] for r in
              nlp.predict_category_multi(models, test).collect()}
     assert voted == {"t1": "engine", "t2": "life"}
+
+
+def test_n9_multi_model_train_save_load(spark, tmp_path):
+    rows = []
+    for i in range(20):
+        rows.append((f"a{i}", "spark join agg", "big data engine text", "engine"))
+        rows.append((f"b{i}", "cats dogs pets", "animal life pets text", "life"))
+    train = spark.createDataFrame(rows, "id string, f1 string, f2 string, category string")
+    models = nlp.train_multiple_models(train, ["f1", "f2"], "category")
+    assert set(models) == {"f1", "f2"}
+
+    nlp.save_models(models, str(tmp_path / "models"))
+    loaded = nlp.load_models(spark, str(tmp_path / "models"), ["f1", "f2"])
+
+    test = spark.createDataFrame([("t1", "spark agg", "engine data")], "id string, f1 string, f2 string")
+    # per-feature models expect their own text column; transform uses each
+    voted = {r["id"]: r["category"] for r in
+             nlp.predict_category_multi(
+                 {"f1": loaded["f1"]}, test.withColumnRenamed("f1", "f1")).collect()}
+    assert voted["t1"] == "engine"

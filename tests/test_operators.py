@@ -173,3 +173,23 @@ def test_hash_match_join(spark):
     files = catalog.select(F.sha2(F.col("id"), 256).alias("fhash")).limit(1)
     out = joins.hash_match_join(files, catalog, "fhash")
     assert out.count() == 1
+
+
+def test_c3_analyze_uri(spark):
+    df = spark.createDataFrame([("http://data.ex.org/voc/core#Label",)], ["u"])
+    r = df.select(scalar.analyze_uri(F.col("u")).alias("a")).first()["a"]
+    assert r["namespace"] == "http://data.ex.org/voc/core"
+    assert r["local_name"] == "Label"
+    assert r["tld"] == "org"
+
+
+def test_f7_scrub_empty_lists(spark):
+    df = spark.createDataFrame([(["a"],), (None,)], "c: array<string>")
+    got = [r["c"] for r in filters.scrub_empty_lists(df, ["c"]).collect()]
+    assert got == [["a"], []]
+
+
+def test_f8_title_skip(spark):
+    df = spark.createDataFrame([("My Wikidata Dump",), ("Clean Set",)], ["title"])
+    got = [r["title"] for r in filters.title_skip(df).collect()]
+    assert got == ["Clean Set"]

@@ -102,3 +102,25 @@ def test_profile_on_pipeline_output(spark, transcripts_df, tmp_path_factory):
     assert hist[0]["cnt"] >= hist[-1]["cnt"]
     cons = profile.connections(res.triples).collect()
     assert len(cons) > 0
+
+
+def test_q13_existence_fallback(spark):
+    primary_empty = spark.createDataFrame([], "v string")
+    fallback = spark.createDataFrame([("x",)], ["v"])
+    got = profile.existence_fallback(primary_empty, fallback).collect()
+    assert [r["v"] for r in got] == ["x"]
+    primary = spark.createDataFrame([("p",)], ["v"])
+    assert [r["v"] for r in profile.existence_fallback(primary, fallback).collect()] == ["p"]
+
+
+def test_q14_enrich_with_lookup(spark):
+    vocs = spark.createDataFrame([("http://voc/1",), ("http://voc/2",)], ["voc"])
+    lov = spark.createDataFrame([("http://voc/1", "geo")], ["voc", "keyword"])
+    got = {r["voc"]: r["keyword"] for r in
+           profile.enrich_with_lookup(vocs, lov, "voc").collect()}
+    assert got == {"http://voc/1": "geo", "http://voc/2": None}
+
+
+def test_q16_has_any(spark):
+    assert profile.has_any(spark.createDataFrame([("x",)], ["v"]))
+    assert not profile.has_any(spark.createDataFrame([], "v string"))
