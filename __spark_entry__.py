@@ -537,7 +537,12 @@ def kg_pipeline_triples(spark, sf):
 
 
 def kg_flagship_histogram(spark, sf):
-    """entry() flagship at the given scale factor (events-derived corpus)."""
+    """entry() flagship at the given scale factor (events-derived corpus).
+
+    ORACLED: the transcript view maps each event to exactly one
+    '<ent> is a <event_type>.' sentence, so the class histogram after
+    window assembly + mapInPandas regex extraction must equal a plain
+    GROUP BY over events — the whole extraction path is SQL-verified."""
     events = _t(spark, sf, "events")
     turns = assemble_turns(_events_as_transcripts(events)).drop("rn")
     raw = extract_raw_triples(turns)
@@ -927,6 +932,10 @@ def oracle_sql() -> dict[str, str]:
             )
             QUALIFY row_number() OVER (PARTITION BY id ORDER BY rank_ DESC) = 1
             ORDER BY id
+        """,
+        "kg_flagship_histogram": """
+            SELECT event_type AS curi, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1 ORDER BY cnt DESC, curi ASC
         """,
         "o4_first_valid": f"""
             SELECT CAST(p_partkey AS BIGINT) AS k,
