@@ -342,7 +342,11 @@ def dedup_exact_docs(spark, sf):
 
 def dedup_ngram_pairs(spark, sf):
     d = _t(spark, sf, "documents")
-    out = dd.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    # max_shingle_df=None: the DuckDB oracle computes exact uncapped
+    # Jaccard, so the paired query must too (the capped variant is the
+    # 100 TB default and is covered by tests/test_datapipe.py).
+    out = dd.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5,
+                                 max_shingle_df=None)
     return out.select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),

@@ -34,20 +34,42 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     narrow input buys a fully parallel explode. No-op when the input is
     already at least as wide as the cluster (the 100 TB case)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Prefer the metadata-only inputFiles() probe: a file-scan DF with fewer
+    # files than cores is (at most) that many scan partitions. Fall back to
+    # the RDD partition probe only for derived (non-scan) inputs — df.rdd
+    # forces plan-to-physical materialization, which inputFiles avoids.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — streaming / non-file plans
+        n_files = 0
+    n_parts = n_files if n_files > 0 else df.rdd.getNumPartitions()
+    if n_parts < target:
         return df.repartition(target, key)
     return df
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
+                     max_dup_ids: int = 1024) -> DataFrame:
     """Groups of byte-identical (post-normalization) texts: (text_hash,
-    n_dups, keep_id, dup_ids). keep_id = min id (deterministic survivor)."""
+    n_dups, keep_id, dup_ids). keep_id = min id (deterministic survivor).
+
+    dup_ids is capped at the max_dup_ids smallest ids: a pathological group
+    (10^8 copies of "" after normalization) would otherwise materialize one
+    giant array in a single agg buffer. The cap is enforced BEFORE the
+    collect via a row_number window sharing the same hash partitioning (one
+    shuffle total), so the buffer itself is bounded. n_dups stays exact."""
     h = F.sha2(normalize_text(F.col(text_col)), 256)
+    keyed = df.select(F.col(id_col).alias("id"), h.alias("text_hash"))
+    w = Window.partitionBy("text_hash").orderBy(F.col("id").asc())
+    ranked = keyed.select(
+        "id", "text_hash",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("text_hash")).alias("_n"),
+    ).filter(F.col("_rn") <= max_dup_ids)
     return (
-        df.select(F.col(id_col).alias("id"), h.alias("text_hash"))
-        .groupBy("text_hash")
+        ranked.groupBy("text_hash")
         .agg(
-            F.count(F.lit(1)).alias("n_dups"),
+            F.max("_n").alias("n_dups"),
             F.min("id").alias("keep_id"),
             F.array_sort(F.collect_list("id")).alias("dup_ids"),
         )
@@ -83,18 +105,23 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
-    threshold: float = 0.8, max_shingle_df: int = 1000,
+    threshold: float = 0.8, max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) by word-n-gram Jaccard.
 
     Inverted-index plan: shingle → docs, self-join on shingle, count common
     shingles per pair, Jaccard = common / (|A| + |B| - common). Shingles in
     more than max_shingle_df docs are dropped (stop-shingles: kills both
-    the O(df²) pair blow-up and the shuffle skew of hot shingles)."""
+    the O(df²) pair blow-up and the shuffle skew of hot shingles); pass
+    max_shingle_df=None for exact uncapped Jaccard. When the cap is active,
+    per-doc sizes are computed from the SAME filtered shingle set, so the
+    result is the well-defined Jaccard of the capped sets — not a hybrid of
+    full sizes over filtered intersections."""
     sh = _shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(sdf.filter(F.col("df_") <= max_shingle_df), "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    sh = sh.join(sdf.filter(F.col("df_") <= max_shingle_df), "shingle", "left_semi")
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")
     common = (
@@ -142,12 +169,21 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4,
+    num_perm: int = 64,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature, bucket-join docs that
     share any (band, band_hash) → candidate pairs (a, b). Estimated
-    Jaccard from full signatures attached for thresholding."""
-    assert bands * rows_per_band <= 1024
+    Jaccard from full signatures attached for thresholding.
+
+    bands*rows_per_band must not exceed the signature length (num_perm):
+    F.slice past the end would yield identical empty band arrays for every
+    doc — one global bucket, an O(n²) candidate blow-up."""
+    if bands * rows_per_band > num_perm:
+        raise ValueError(
+            f"bands*rows_per_band ({bands}*{rows_per_band}) exceeds "
+            f"signature length num_perm={num_perm}"
+        )
     banded = sigs.select(
         "id", "sig",
         F.explode(
@@ -185,7 +221,7 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline → (a, b, est_jaccard ≥ threshold)."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
-    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band, num_perm)
     return cand.filter(F.col("est_jaccard") >= threshold)
 
 

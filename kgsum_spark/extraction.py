@@ -45,15 +45,23 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sent["s"] = pdf["text"].fillna("").str.split(SENTENCE_SPLIT, regex=True)
         sent = sent.explode("s", ignore_index=True)
         sent = sent[sent["s"].notna() & (sent["s"] != "")]
+        sent = sent.reset_index(drop=True)
+        # first-match-wins, in rule-table order, to agree exactly with the
+        # single-process oracle rules.extract_sentence (which returns on the
+        # first matching rule). Without the claimed mask a sentence matching
+        # two rules (e.g. "A was created by B same as http://u.") would emit
+        # 2 triples here but 1 in the oracle.
+        claimed = pd.Series(False, index=sent.index)
         out = []
         for rule, pat in rules:
-            cand = sent[sent["s"].str.contains(rule.anchor, regex=False)]
+            cand = sent[~claimed & sent["s"].str.contains(rule.anchor, regex=False)]
             if cand.empty:
                 continue
             cap = cand["s"].str.extract(pat)  # cols 0 (subj), 1 (obj)
             hit = cap[0].notna()
             if not hit.any():
                 continue
+            claimed.loc[cand.index[hit]] = True
             m = cand.loc[hit, ["conv_id", "turn_idx", "part_id"]].copy()
             m["subj"] = cap.loc[hit, 0]
             m["pred"] = rule.pred

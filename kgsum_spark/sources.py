@@ -40,7 +40,18 @@ TRIPLES_NT_SCHEMA = (
     "o_datatype string, g string"
 )
 
-_UNESCAPE = {r"\n": "\n", r"\t": "\t", r"\r": "\r", r"\\": "\\", r"\"": '"'}
+# ECHAR decode map (W3C N-Triples grammar). Decoding MUST be a single
+# left-to-right pass: sequential str.replace corrupts inputs like the
+# encoded 'C:\\new' (raw C:\new), where the \n rule would eat half of \\.
+_ECHAR = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+          "\\": "\\", '"': '"', "'": "'"}
+_ECHAR_RE = r"\\([ntrbf\\\"'])"
+
+
+def _unescape_echar(lit: pd.Series) -> pd.Series:
+    return lit.str.replace(
+        _ECHAR_RE, lambda m: _ECHAR[m.group(1)], regex=True
+    )
 
 
 def _parse_nt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -55,9 +66,7 @@ def _parse_nt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         cap = cap[ok]
         if cap.empty:
             continue
-        o_lit = cap["o_lit"]
-        for esc, real in _UNESCAPE.items():
-            o_lit = o_lit.str.replace(esc, real, regex=False)
+        o_lit = _unescape_echar(cap["o_lit"])
         out = pd.DataFrame(
             {
                 "s": cap["s_iri"].fillna(cap["s_bnode"]),
@@ -155,9 +164,14 @@ def nt_lines_from_triples(t: DataFrame) -> DataFrame:
             F.col("subj").alias("s"), F.col("pred").alias("p"),
             F.col("obj").alias("o"), F.col("obj_is_iri").alias("o_is_iri"),
         )
-    esc = F.regexp_replace(
-        F.regexp_replace(F.col("o"), r"\\", r"\\\\"), '"', r"\\\""
-    )
+    # ECHAR-escape per the N-Triples grammar: backslash FIRST (so later
+    # rules don't double-escape), then quote and the control chars — a
+    # literal holding a real LF/CR/TAB must serialize to \n/\r/\t or the
+    # emitted file is invalid multi-line NT the reader would drop.
+    esc = F.col("o")
+    for pat, rep in ((r"\\", r"\\\\"), ('"', r"\\\""),
+                     ("\n", r"\\n"), ("\r", r"\\r"), ("\t", r"\\t")):
+        esc = F.regexp_replace(esc, pat, rep)
     obj = F.when(F.col("o_is_iri"), F.concat(F.lit("<"), F.col("o"), F.lit(">"))) \
         .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
     return t.select(

@@ -54,3 +54,17 @@ def test_mentions_norm_and_block(spark, transcripts_df):
 def test_part_id_lineage_present(spark, transcripts_df):
     raw = extract_raw_triples(transcripts_df)
     assert raw.filter(F.col("part_id").isNull()).count() == 0
+
+
+def test_first_match_wins_matches_oracle(spark):
+    """ADVICE r1: a sentence fullmatching two rules ('A was created by B
+    same as http://u.') emitted 2 triples on the Spark path but 1 from the
+    single-process oracle. Both paths must be first-match-wins now."""
+    from kgsum_spark.rules import extract_sentence
+
+    s = "A was created by B same as http://u."
+    rule, subj, obj = extract_sentence(s)
+    df = spark.createDataFrame([("c0", 0, s)], "conv_id string, turn_idx int, text string")
+    rows = extract_raw_triples(df).collect()
+    assert len(rows) == 1
+    assert (rows[0]["pred"], rows[0]["subj"], rows[0]["obj"]) == (rule.pred, subj, obj)

@@ -83,3 +83,25 @@ def test_profile_to_triples(spark):
     assert ("http://kg/ds/g1", "owl:sameAs", "http://same/1") in rows
     assert ("http://kg/ds/g1", "dcat:keyword", "label a") in rows
     assert len(rows) == 12
+
+
+def test_echar_escape_roundtrip(spark, tmp_path):
+    """ADVICE r1: sequential str.replace corrupted encoded 'C:\\new'
+    (raw C:\new → 'C:' + LF + 'ew'); sink dropped LF/CR/TAB escaping so
+    multi-line literals produced invalid NT. Both must round-trip now."""
+    hard = [
+        "C:\\new",          # raw backslash followed by 'n' — the decode trap
+        "line1\nline2",      # real LF — the sink trap
+        "tab\there",
+        "cr\rhere",
+        'quote " backslash \\ mix \\n',  # raw chars: " \ \n (backslash+n)
+    ]
+    df = spark.createDataFrame(
+        [("http://d/s", f"http://ex/p{i}", o, False) for i, o in enumerate(hard)],
+        "s string, p string, o string, o_is_iri boolean",
+    )
+    out = str(tmp_path / "echar.nt")
+    sources.nt_lines_from_triples(df).coalesce(1).write.mode("overwrite").text(out)
+    back = sources.read_ntriples(spark, out)
+    got = {r["p"]: r["o"] for r in back.collect()}
+    assert got == {f"http://ex/p{i}": o for i, o in enumerate(hard)}
