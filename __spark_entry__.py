@@ -17,9 +17,11 @@ column-sorted value hash matches. Cross-engine discipline:
 - doubles appear only where both engines compute bit-identical results
   (single divisions; sequential dot products on double arrays).
 
-Entries with no oracle (rows-only checks) are the genuinely non-SQL ops:
-the KG pipeline itself (iterative connected components) and hash-based
-near-dup ops whose hash functions are engine-specific (xxhash64).
+Every entry is oracled (as of r2). The former rows-only ops are now
+SQL-checkable: the KG pipeline's connected components via a WITH RECURSIVE
+min-label fixpoint; MinHash/ANN surfaces emit exact-verified values
+(Jaccard/cosine) so LSH only prunes; SimHash uses an md5-based portable
+hash that DuckDB reproduces bit-for-bit.
 """
 
 from __future__ import annotations
@@ -514,19 +516,56 @@ def o4_first_valid(spark, sf):
     ).orderBy("k")
 
 
-# --- rows-only entries (non-SQL-expressible: iterative CC, xxhash LSH) ----
+# --- full-pipeline + verified near-dup entries (all oracled as of r2) -----
+
+def _events_as_transcripts_linked(events: DataFrame) -> DataFrame:
+    """Transcript view with LINKING structure on top of the flagship view:
+    aka-chains (Ev<k> ↔ Ev<k-1> within each decade → 10-node components,
+    multi-hop CC) and 'Ev<k> labs' mentions (token-Jaccard 0.5 similarity
+    edges). Every sentence is deterministic in events columns, so a SQL
+    oracle can reconstruct the exact triple set."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    k = F.pmod(F.col("event_id"), F.lit(200))
+    ent = F.concat(F.lit("Ev"), k.cast("string"))
+    sent1 = F.concat(ent, F.lit(" is a "), F.col("event_type"), F.lit("."))
+    sent2 = F.when(
+        F.col("value") > 10,
+        F.concat(F.lit(" "), ent, F.lit(" same as http://ex.org/r/"),
+                 F.col("user_id").cast("string"), F.lit(".")),
+    ).otherwise(F.lit(""))
+    sent3 = F.when(
+        k % 10 != 0,
+        F.concat(F.lit(" "), ent, F.lit(" also known as Ev"),
+                 (k - 1).cast("string"), F.lit(".")),
+    ).otherwise(F.lit(""))
+    sent4 = F.when(
+        F.col("value") > 15,
+        F.concat(F.lit(" "), ent, F.lit(" labs was created by "), ent, F.lit(".")),
+    ).otherwise(F.lit(""))
+    return events.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(sent1, sent2, sent3, sent4).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+
 
 def kg_pipeline_triples(spark, sf):
-    """Full KG pipeline (extraction → linking → CC canonicalization) on the
-    deterministic synthetic corpus; iterative union-find is not ANSI-SQL."""
-    from kgsum_spark import schemas
+    """Full KG pipeline — window assembly → mapInPandas extraction →
+    mention normalization → linking (similarity + sameAs edges) → connected
+    components → canonical triples — over the events-derived corpus.
+
+    ORACLED end-to-end: the DuckDB side reconstructs the same raw triples
+    from events columns, recomputes token-Jaccard/sameAs edges in SQL, and
+    closes components with a WITH RECURSIVE min-label fixpoint."""
     from kgsum_spark.canonicalize import canonical_map
     from kgsum_spark.linking import all_edges
-    from kgsum_spark.synth import generate_corpus
 
-    c = generate_corpus(n_convs=100, seed=42)
-    tdf = spark.createDataFrame(c.transcripts, schema=schemas.TRANSCRIPTS)
-    raw = extract_raw_triples(assemble_turns(tdf).drop("rn"))
+    events = _t(spark, sf, "events")
+    turns = assemble_turns(_events_as_transcripts_linked(events)).drop("rn")
+    raw = extract_raw_triples(turns)
     mentions = mentions_from_raw(raw)
     ent = canonical_map(mentions.select("norm").distinct(), all_edges(mentions, raw))
     norm = lambda col: F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))  # noqa: E731
@@ -559,23 +598,45 @@ def kg_flagship_histogram(spark, sf):
 
 
 def minhash_neardup_docs(spark, sf):
+    """MinHash+LSH candidates, EXACT trigram-Jaccard verified — emitted
+    rows are hash-independent, oracled against brute-force all-pairs."""
     d = _t(spark, sf, "documents")
-    out = dd.minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
-    return out.orderBy("a", "b")
+    out = dd.minhash_neardup_verified(d, "doc_id", "text", n=3, threshold=0.5)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    ).orderBy("a", "b")
 
 
 def simhash_neardup_docs(spark, sf):
+    """Portable-hash SimHash (md5-based, DuckDB-reproducible) with
+    pigeonhole multi-block candidates (guaranteed recall at hamming ≤ 3)
+    — oracled against a brute-force SQL SimHash of the same definition."""
     d = _t(spark, sf, "documents")
-    return dd.simhash_near_pairs(dd.simhash64(d, "doc_id", "text"),
-                                 max_hamming=6).orderBy("a", "b")
+    out = dd.simhash_hamming_pairs(dd.simhash_md5(d, "doc_id", "text"),
+                                   max_hamming=3)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    ).orderBy("a", "b")
 
 
 def ann_lsh_pairs_embeddings(spark, sf):
+    """Multi-table hyperplane LSH candidates, EXACT cosine verified —
+    oracled against brute-force all-pairs cosine. Synthetic embeddings are
+    near-random (max pairwise cos ≈0.5-0.6), so 0.48 captures the true top
+    pairs while exercising the bucket-join + verify path."""
     e = _t(spark, sf, "embeddings")
     dim = len(e.select("embedding").first()["embedding"])
-    # synthetic embeddings have no near-dup pairs (max pairwise cosine ≈0.51
-    # at sf0.01); 0.3 exercises the bucket-join + verify path with real rows
-    return sim.ann_lsh_pairs(e, dim=dim, n_planes=10, threshold=0.3).orderBy("a", "b")
+    out = sim.ann_pairs_verified(e, dim=dim, n_planes=4, n_tables=48,
+                                 threshold=0.48)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("sim").cast("double").alias("sim"),
+    ).orderBy("a", "b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -617,7 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o4_first_valid": o4_first_valid,
         "a8_classification_metrics": a8_classification_metrics,
         "j3_union_keep_last": j3_union_keep_last,
-        # rows-only (no oracle): iterative / engine-specific-hash operators
+        # full-pipeline + verified near-dup surfaces (all oracled as of r2)
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_flagship_histogram": kg_flagship_histogram,
         "minhash_neardup_docs": minhash_neardup_docs,
@@ -632,7 +693,134 @@ _NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM_SQL.format(c="text")
+    # portable 60-bit SimHash, generated: 60 bit-sum aggregates + recombine
+    # (mirrors kgsum_spark.datapipe.dedup.simhash_md5 exactly)
+    simhash_bits = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    simhash_acc = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(60)
+    )
+    simhash_sql = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({norm_text}, ' ')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 18, 15))::BIGINT AS h
+            FROM toks WHERE tok <> ''
+        ), bits AS (
+            SELECT doc_id, {simhash_bits} FROM hashed GROUP BY doc_id
+        ), sh AS (
+            SELECT doc_id, ({simhash_acc}) AS simhash FROM bits
+        )
+        SELECT CAST(x.doc_id AS BIGINT) AS a, CAST(y.doc_id AS BIGINT) AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        ORDER BY a, b
+    """
+    # brute-force exact trigram Jaccard (shared by the ngram and minhash
+    # surfaces — the minhash path must converge to the same truth)
+    jaccard_sql = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({norm_text}, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        ), common AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               common / (sa.sz + sb.sz - common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE common / (sa.sz + sb.sz - common) >= 0.5
+        ORDER BY a, b
+    """
+    norm_of = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+    kg_pipeline_sql = f"""
+        WITH RECURSIVE ev AS (
+            SELECT event_id % 200 AS k, event_type, user_id, value FROM events
+        ), raw AS (
+            SELECT 'Ev' || CAST(k AS VARCHAR) AS subj, 'rdf:type' AS pred,
+                   event_type AS obj, FALSE AS obj_is_iri, FALSE AS is_m
+            FROM ev
+            UNION ALL
+            SELECT 'Ev' || CAST(k AS VARCHAR), 'owl:sameAs',
+                   'http://ex.org/r/' || CAST(user_id AS VARCHAR), TRUE, FALSE
+            FROM ev WHERE value > 10
+            UNION ALL
+            SELECT 'Ev' || CAST(k AS VARCHAR), 'owl:sameAs',
+                   'Ev' || CAST(k - 1 AS VARCHAR), FALSE, TRUE
+            FROM ev WHERE k % 10 <> 0
+            UNION ALL
+            SELECT 'Ev' || CAST(k AS VARCHAR) || ' labs', 'dcterms:creator',
+                   'Ev' || CAST(k AS VARCHAR), FALSE, TRUE
+            FROM ev WHERE value > 15
+        ), norms AS (
+            SELECT DISTINCT {norm_of.format(c='m')} AS norm
+            FROM (SELECT subj AS m FROM raw
+                  UNION ALL SELECT obj FROM raw WHERE is_m)
+            WHERE {norm_of.format(c='m')} <> ''
+        ), toksets AS (
+            SELECT norm, string_split(norm, ' ') AS tk,
+                   split_part(norm, ' ', 1) AS bk
+            FROM norms
+        ), sim_edges AS (
+            SELECT x.norm AS a, y.norm AS b
+            FROM toksets x JOIN toksets y ON x.bk = y.bk AND x.norm < y.norm
+            WHERE CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+                  / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))) >= 0.5
+        ), same_edges AS (
+            SELECT DISTINCT {norm_of.format(c='subj')} AS a,
+                   {norm_of.format(c='obj')} AS b
+            FROM raw
+            WHERE pred = 'owl:sameAs' AND is_m
+              AND {norm_of.format(c='subj')} <> '' AND {norm_of.format(c='obj')} <> ''
+        ), edges AS (
+            SELECT a, b FROM sim_edges UNION SELECT a, b FROM same_edges
+        ), esym AS (
+            SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+        ), reach AS (
+            SELECT norm AS node, norm AS r FROM norms
+            UNION
+            SELECT e.b AS node, reach.r FROM reach JOIN esym e ON e.a = reach.node
+        ), cc AS (
+            SELECT node, min(r) AS label FROM reach GROUP BY node
+        ), cmap AS (
+            SELECT node AS norm, 'ent:' || replace(label, ' ', '_') AS cid FROM cc
+        )
+        SELECT DISTINCT coalesce(m.cid, r.subj) AS subj, r.pred, r.obj, r.obj_is_iri
+        FROM raw r LEFT JOIN cmap m ON {norm_of.format(c='r.subj')} = m.norm
+        ORDER BY subj, pred, obj
+    """
     return {
+        "kg_pipeline_triples": kg_pipeline_sql,
+        "minhash_neardup_docs": jaccard_sql,
+        "simhash_neardup_docs": simhash_sql,
+        "ann_lsh_pairs_embeddings": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                FROM embeddings
+            ), scored AS (
+                SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
+                       list_dot_product(x.ve, y.ve)
+                       / (sqrt(list_dot_product(x.ve, x.ve))
+                          * sqrt(list_dot_product(y.ve, y.ve))) AS sim
+                FROM v x JOIN v y ON x.vec_id < y.vec_id
+            )
+            SELECT a, b, sim FROM scored WHERE sim >= 0.48 ORDER BY a, b
+        """,
         "q1_namespaces": f"""
             SELECT DISTINCT CASE WHEN contains(uri, '#') THEN split_part(uri, '#', 1)
                         ELSE regexp_replace(uri, '/[^/]*$', '') END AS ns

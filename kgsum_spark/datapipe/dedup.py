@@ -265,3 +265,130 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# --- exact-verified near-dup surfaces (hash-independent emitted rows) -----
+#
+# The LSH machinery above generates CANDIDATES; the functions below verify
+# candidates with exact, engine-portable math (n-gram Jaccard, md5-based
+# Hamming) so the emitted rows can be checked against a brute-force SQL
+# oracle. Design per the production LSH pattern: hashes prune, exact
+# verification decides.
+
+
+def exact_ngram_jaccard_on_pairs(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 3,
+) -> DataFrame:
+    """(a, b) candidate pairs → (a, b, jaccard) with EXACT word-n-gram
+    Jaccard. Shingle scan is semi-join-pruned to the candidate doc ids, so
+    cost is proportional to candidates, not corpus."""
+    sh = _shingles(df, id_col, text_col, n)
+    ids = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    sh = sh.join(ids, "id", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        pairs.join(sh.select(F.col("id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a", "b",
+            (F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_neardup_verified(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    num_perm: int = 64, bands: int = 32, rows_per_band: int = 2,
+    threshold: float = 0.5, seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH candidates → exact n-gram Jaccard verify → (a, b,
+    jaccard ≥ threshold). Emitted values are hash-independent: MinHash only
+    prunes the pair space. 32 bands × 2 rows: P(miss | J=0.5) =
+    (1-0.25)^32 ≈ 1e-4 per pair (tests assert recall 1.0 vs brute force on
+    the testdata corpora at sf0.001/0.01/0.1)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band, num_perm).select("a", "b")
+    return (
+        exact_ngram_jaccard_on_pairs(cand, df, id_col, text_col, n)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# 60-bit engine-portable token hash: both Spark and DuckDB can compute
+# int(md5(tok)[17:32], 16) exactly (15 hex chars = 60 bits < 2^63, so the
+# BIGINT cast never overflows under ANSI).
+_SIMHASH_BITS = 60
+
+
+def _md5_60(c):
+    return F.conv(F.substring(F.md5(c), 18, 15), 16, 10).cast("long")
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 60-bit SimHash over word tokens with the PORTABLE
+    md5-based token hash, so a SQL oracle reproduces the value bit-for-bit
+    (xxhash64 variant simhash64() remains the cheaper in-engine default).
+    Same shape as simhash64: explode tokens, 60 codegen'd bit aggregates."""
+    toks = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("id"),
+                F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", _md5_60(F.col("tok")))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    bits = toks.groupBy("id").agg(*aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(_SIMHASH_BITS):
+        acc = acc + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return bits.select("id", acc.alias("simhash"))
+
+
+def simhash_hamming_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming ≤ max_hamming) with GUARANTEED recall: the 60-bit
+    fingerprint is split into max_hamming+1 disjoint blocks; two prints
+    within Hamming distance H differ in ≤ H blocks, so by pigeonhole they
+    agree on at least one block — every true pair is a candidate in some
+    block's bucket join. Exact bit_count(xor) then decides. (The classical
+    multi-index Hamming scheme; single-prefix blocking was the r1 gap.)"""
+    n_blocks = max_hamming + 1
+    bpb = _SIMHASH_BITS // n_blocks
+    blocks = []
+    for i in range(n_blocks):
+        lo = i * bpb
+        width = bpb if i < n_blocks - 1 else _SIMHASH_BITS - lo  # last takes remainder
+        mask = (1 << width) - 1
+        blocks.append(
+            F.struct(
+                F.lit(i).alias("blk_i"),
+                F.shiftrightunsigned("simhash", lo).bitwiseAND(F.lit(mask)).alias("blk_v"),
+            )
+        )
+    s = sim.select("id", "simhash", F.explode(F.array(*blocks)).alias("bk")) \
+        .select("id", "simhash", "bk.blk_i", "bk.blk_v")
+    a = s.select(F.col("id").alias("a"), F.col("simhash").alias("ha"), "blk_i", "blk_v")
+    b = s.select(F.col("id").alias("b"), F.col("simhash").alias("hb"), "blk_i", "blk_v")
+    return (
+        a.join(b, ["blk_i", "blk_v"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

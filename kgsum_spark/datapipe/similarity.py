@@ -120,3 +120,70 @@ def knn_join(
         .filter(F.col("_r") <= k)
         .select("qid", "id", "sim", F.col("_r").alias("rank"))
     )
+
+
+def multi_lsh_candidates(
+    df: DataFrame, dim: int, n_planes: int = 4, n_tables: int = 48,
+    seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs (a, b) from MULTI-TABLE hyperplane LSH: n_tables
+    independent sign-bit signatures of n_planes each; a pair is a candidate
+    if it shares a bucket in ANY table. P(candidate | cos θ) =
+    1 - (1 - (1-θ/π)^k)^L — more tables → recall, more planes → precision.
+
+    One mapInPandas pass computes every table's bucket (a single n×(k·L)
+    BLAS matmul per Arrow batch) — the corpus is scanned once, not L times.
+    The bucket self-join shuffles (table, bucket)-keyed rows; distinct
+    dedups pairs found by several tables before any expensive verify."""
+    import numpy as np
+    from collections.abc import Iterator
+    import pandas as pd
+
+    planes = np.random.RandomState(seed).normal(size=(dim, n_planes * n_tables))
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+    n_t = n_tables
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            S = (V @ planes) >= 0                      # n × (k·L) sign bits
+            B = S.reshape(len(pdf), n_t, -1) @ pow2    # n × L bucket ids
+            out = pd.DataFrame({
+                "id": pdf[id_col].to_numpy().repeat(n_t),
+                "table": np.tile(np.arange(n_t, dtype=np.int32), len(pdf)),
+                "bucket": B.reshape(-1),
+            })
+            yield out
+
+    sigs = df.select(id_col, vec_col).mapInPandas(
+        gen, "id long, table int, bucket long"
+    )
+    a = sigs.select(F.col("id").alias("a"), "table", "bucket")
+    b = sigs.select(F.col("id").alias("b"), "table", "bucket")
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ann_pairs_verified(
+    df: DataFrame, dim: int, n_planes: int = 4, n_tables: int = 48,
+    seed: int = 42, threshold: float = 0.48,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-neighbor pairs (a, b, sim ≥ threshold) with EXACT cosine on
+    LSH candidates — emitted values are hash-independent (the LSH stage
+    only prunes), so a brute-force SQL oracle checks the result. Tests
+    assert recall 1.0 vs brute force on testdata at sf0.001/0.01/0.1."""
+    cand = multi_lsh_candidates(df, dim, n_planes, n_tables, seed, id_col, vec_col)
+    vecs = df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+        .join(vecs.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

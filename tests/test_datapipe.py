@@ -198,3 +198,92 @@ def test_sample_frames_udtf_shape(media):
 def test_resize_stub_meta(media):
     out = multimodal.resize_stub(media, 224, 224).filter(F.col("media_id") == 0).first()
     assert out["meta"]["resize_w"] == "224" and out["meta"]["w"] == "raw"
+
+
+# --- r2: exact-verified surfaces (hash-independent emitted rows) ----------
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_minhash_verified_equals_bruteforce(spark, sf_docs):
+    """LSH candidates + exact verify must reproduce brute-force trigram
+    Jaccard truth exactly (recall 1.0, precision 1.0 by construction)."""
+    truth = {(r["a"], r["b"], round(r["jaccard"], 12)) for r in
+             dedup.ngram_jaccard_pairs(sf_docs, "doc_id", "text", n=3,
+                                       threshold=0.5, max_shingle_df=None).collect()}
+    got = {(r["a"], r["b"], round(r["jaccard"], 12)) for r in
+           dedup.minhash_neardup_verified(sf_docs, "doc_id", "text", n=3,
+                                          threshold=0.5).collect()}
+    assert got == truth and len(truth) > 0
+
+
+def test_simhash_pigeonhole_recall_guaranteed(spark, sf_docs):
+    """Multi-block candidates must find EVERY pair at hamming ≤ 3 — the
+    pigeonhole guarantee, checked against an all-pairs cross join."""
+    sim = dedup.simhash_md5(sf_docs, "doc_id", "text").cache()
+    a = sim.select(F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    b = sim.select(F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    truth = {(r["a"], r["b"], r["hamming"]) for r in
+             a.join(b, a.a < b.b)
+             .select("a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+             .filter(F.col("hamming") <= 3).collect()}
+    got = {(r["a"], r["b"], r["hamming"]) for r in
+           dedup.simhash_hamming_pairs(sim, max_hamming=3).collect()}
+    assert got == truth and len(truth) > 0
+
+
+def test_simhash_md5_portable_vs_duckdb(spark, sf_docs):
+    """The md5-based simhash must be bit-identical to an independent
+    pure-Python computation (the same definition DuckDB evaluates)."""
+    import hashlib
+    import re
+
+    sample = sf_docs.orderBy("doc_id").limit(20).collect()
+    got = {r["id"]: r["simhash"] for r in
+           dedup.simhash_md5(spark.createDataFrame(sample), "doc_id", "text").collect()}
+    for row in sample:
+        toks = [t for t in re.sub(r"[^a-z0-9]+", " ", row["text"].lower()).strip().split(" ") if t]
+        if not toks:
+            assert row["doc_id"] not in got
+            continue
+        counts = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[17:32], 16)
+            for bit in range(60):
+                counts[bit] += 1 if (h >> bit) & 1 else -1
+        expect = sum(1 << bit for bit in range(60) if counts[bit] > 0)
+        assert got[row["doc_id"]] == expect
+
+
+def test_ann_verified_equals_bruteforce(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    truth = {(r["a"], r["b"], round(r["sim"], 12)) for r in
+             a.join(b, a.a < b.b)
+             .select("a", "b", similarity.cosine(F.col("va"), F.col("vb")).alias("sim"))
+             .filter(F.col("sim") >= 0.45).collect()}
+    got = {(r["a"], r["b"], round(r["sim"], 12)) for r in
+           similarity.ann_pairs_verified(e, dim=64, n_planes=4, n_tables=48,
+                                         threshold=0.45).collect()}
+    assert got == truth and len(truth) > 0
+
+
+def test_minhash_band_bounds_raise(spark, docs):
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_perm=8)
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_candidates(sigs, bands=8, rows_per_band=4, num_perm=8)
+
+
+def test_exact_duplicates_dup_ids_cap(spark):
+    rows = [(i, "same text") for i in range(50)] + [(99, "unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.exact_duplicates(df, "doc_id", "text", max_dup_ids=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_dups"] == 50 and r["keep_id"] == 0
+    assert r["dup_ids"] == list(range(10))  # capped at 10 smallest ids
