@@ -516,6 +516,204 @@ def o4_first_valid(spark, sf):
     ).orderBy("k")
 
 
+# --- r2 additions: profile Q6/Q7/Q9/Q10 on a triples fixture, the
+# F-battery, exact stratified split, A9 running accuracy ------------------
+
+def _profile_triples(spark, sf) -> DataFrame:
+    """CURIE-spelled triples fixture derived deterministically from events
+    (subj, pred, obj, obj_is_iri) — the substrate for the Q6-Q10 profile
+    extractors, reconstructible in plain SQL for the oracle."""
+    e = _t(spark, sf, "events")
+    k = F.pmod(F.col("event_id"), F.lit(50))
+    subj = F.concat(F.lit("http://ex.org/d/"), k.cast("string"))
+    parts = [
+        e.select(
+            subj.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.when(k % 10 == 0, F.lit("void:Dataset"))
+            .otherwise(F.concat(F.lit("http://ex.org/C"), (k % 5).cast("string")))
+            .alias("obj"),
+            F.lit(True).alias("obj_is_iri"),
+        ),
+        e.filter(F.col("value") > 100).select(
+            subj.alias("subj"), F.lit("void:sparqlEndpoint").alias("pred"),
+            F.concat(F.lit("http://sparql.ex.org/"),
+                     F.pmod(F.col("user_id"), F.lit(20)).cast("string")).alias("obj"),
+            F.lit(True).alias("obj_is_iri"),
+        ),
+        e.filter(F.col("value") > 50).select(
+            subj.alias("subj"), F.lit("dcterms:creator").alias("pred"),
+            F.concat(F.lit("creator-"), (k % 7).cast("string")).alias("obj"),
+            F.lit(False).alias("obj_is_iri"),
+        ),
+        e.filter(F.col("value") > 30).select(
+            subj.alias("subj"), F.lit("dcterms:title").alias("pred"),
+            F.concat(F.lit("Dataset "), k.cast("string")).alias("obj"),
+            F.lit(False).alias("obj_is_iri"),
+        ),
+        e.filter(F.col("value") > 20).select(
+            subj.alias("subj"), F.lit("dcterms:description").alias("pred"),
+            F.concat(F.lit("desc "), F.col("event_type"), F.lit(" "),
+                     (k % 9).cast("string")).alias("obj"),
+            F.lit(False).alias("obj_is_iri"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_PROFILE_TRIPLES_SQL = """
+    SELECT 'http://ex.org/d/' || CAST(event_id % 50 AS VARCHAR) AS subj,
+           'rdf:type' AS pred,
+           CASE WHEN event_id % 50 % 10 = 0 THEN 'void:Dataset'
+                ELSE 'http://ex.org/C' || CAST(event_id % 50 % 5 AS VARCHAR) END AS obj,
+           TRUE AS obj_is_iri
+    FROM events
+    UNION ALL
+    SELECT 'http://ex.org/d/' || CAST(event_id % 50 AS VARCHAR),
+           'void:sparqlEndpoint',
+           'http://sparql.ex.org/' || CAST(user_id % 20 AS VARCHAR), TRUE
+    FROM events WHERE value > 100
+    UNION ALL
+    SELECT 'http://ex.org/d/' || CAST(event_id % 50 AS VARCHAR),
+           'dcterms:creator',
+           'creator-' || CAST(event_id % 50 % 7 AS VARCHAR), FALSE
+    FROM events WHERE value > 50
+    UNION ALL
+    SELECT 'http://ex.org/d/' || CAST(event_id % 50 AS VARCHAR),
+           'dcterms:title',
+           'Dataset ' || CAST(event_id % 50 AS VARCHAR), FALSE
+    FROM events WHERE value > 30
+    UNION ALL
+    SELECT 'http://ex.org/d/' || CAST(event_id % 50 AS VARCHAR),
+           'dcterms:description',
+           'desc ' || event_type || ' ' || CAST(event_id % 50 % 9 AS VARCHAR), FALSE
+    FROM events WHERE value > 20
+"""
+
+
+def q6_endpoints(spark, sf):
+    from kgsum_spark.profile import endpoints
+
+    return endpoints(_profile_triples(spark, sf))
+
+
+def q7_creators(spark, sf):
+    from kgsum_spark.profile import creators
+
+    return creators(_profile_triples(spark, sf))
+
+
+def q9_titles(spark, sf):
+    from kgsum_spark.profile import titles
+
+    return titles(_profile_triples(spark, sf))
+
+
+def q10_descriptions(spark, sf):
+    from kgsum_spark.profile import descriptions
+
+    return descriptions(_profile_triples(spark, sf))
+
+
+def f2_non_empty(spark, sf):
+    from kgsum_spark.operators.filters import non_empty
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .when(F.col("doc_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("lang")).alias("c"),
+    )
+    return non_empty(d, ["c"]).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "c"
+    ).orderBy("doc_id")
+
+
+def f5_predicate_prefix(spark, sf):
+    from kgsum_spark.operators.filters import predicate_prefix_filter
+
+    p = _t(spark, sf, "part").select(
+        F.col("p_partkey").cast("bigint").alias("k"),
+        F.when(F.col("p_partkey") % 3 == 0,
+               F.concat(F.lit("http://www.w3.org/ns/"), F.col("p_brand")))
+        .when(F.col("p_partkey") % 3 == 1, F.expr(_PART_URI))
+        .otherwise(F.concat(F.lit("urn:x:"), F.col("p_brand"))).alias("uri"),
+    )
+    return p.filter(predicate_prefix_filter(F.col("uri"))).orderBy("k")
+
+
+def f6_lang_fallback(spark, sf):
+    from kgsum_spark.operators.filters import lang_filter_with_fallback
+
+    d = _t(spark, sf, "documents")
+    out = lang_filter_with_fallback(d, lang_col="lang", lang="en", min_rows=2)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
+def f7_scrub_empty_lists(spark, sf):
+    from kgsum_spark.operators.filters import scrub_empty_lists
+
+    e = _t(spark, sf, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("array<string>"))
+        .otherwise(F.array(F.col("event_type"))).alias("tags"),
+    )
+    return scrub_empty_lists(e, ["tags"]).orderBy("event_id")
+
+
+def f8_title_skip(spark, sf):
+    from kgsum_spark.operators.filters import title_skip
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("source"), F.lit(" Wikidata mirror")))
+        .otherwise(F.concat(F.col("source"), F.lit(" plain"))).alias("title"),
+    )
+    return title_skip(d, col="title", needle="wikidata").orderBy("doc_id")
+
+
+def a7_stratified_split(spark, sf):
+    """Exact stratified split with an engine-portable order key (md5 of the
+    unique id) so the per-class ranking is SQL-reproducible; emits the fold
+    assignment of every row."""
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    train, val, test = A.stratified_split(
+        d, "lang", weights=(0.8, 0.1, 0.1),
+        order_key=F.md5(F.col("doc_id").cast("string")),
+    )
+    out = (
+        train.withColumn("fold", F.lit("train"))
+        .unionByName(val.withColumn("fold", F.lit("val")))
+        .unionByName(test.withColumn("fold", F.lit("test")))
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "fold"
+    ).orderBy("doc_id")
+
+
+def a9_running_accuracy(spark, sf):
+    e = _t(spark, sf, "events").select(
+        "event_id", "ts", "event_type",
+        F.when(F.col("value") > 50, F.lit("view"))
+        .otherwise(F.col("event_type")).alias("pred_type"),
+    )
+    out = A.running_accuracy(
+        e, "event_type", "pred_type", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("hit").cast("bigint").alias("hit"),
+        F.col("hits_so_far").cast("bigint").alias("hits_so_far"),
+        F.col("n_so_far").cast("bigint").alias("n_so_far"),
+        F.col("running_accuracy").cast("double").alias("running_accuracy"),
+    ).orderBy("event_id")
+
+
 # --- full-pipeline + verified near-dup entries (all oracled as of r2) -----
 
 def _events_as_transcripts_linked(events: DataFrame) -> DataFrame:
@@ -678,6 +876,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o4_first_valid": o4_first_valid,
         "a8_classification_metrics": a8_classification_metrics,
         "j3_union_keep_last": j3_union_keep_last,
+        "q6_endpoints": q6_endpoints,
+        "q7_creators": q7_creators,
+        "q9_titles": q9_titles,
+        "q10_descriptions": q10_descriptions,
+        "f2_non_empty": f2_non_empty,
+        "f5_predicate_prefix": f5_predicate_prefix,
+        "f6_lang_fallback": f6_lang_fallback,
+        "f7_scrub_empty_lists": f7_scrub_empty_lists,
+        "f8_title_skip": f8_title_skip,
+        "a7_stratified_split": a7_stratified_split,
+        "a9_running_accuracy": a9_running_accuracy,
         # full-pipeline + verified near-dup surfaces (all oracled as of r2)
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_flagship_histogram": kg_flagship_histogram,
@@ -804,6 +1013,91 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY subj, pred, obj
     """
     return {
+        "q6_endpoints": f"""
+            SELECT DISTINCT obj AS sparql FROM ({_PROFILE_TRIPLES_SQL})
+            WHERE pred = 'void:sparqlEndpoint' ORDER BY sparql LIMIT 2
+        """,
+        "q7_creators": f"""
+            SELECT DISTINCT obj AS creator FROM ({_PROFILE_TRIPLES_SQL})
+            WHERE pred = 'dcterms:creator' ORDER BY creator LIMIT 5
+        """,
+        "q9_titles": f"""
+            SELECT DISTINCT obj AS title FROM ({_PROFILE_TRIPLES_SQL})
+            WHERE pred = 'dcterms:title' ORDER BY title LIMIT 1
+        """,
+        "q10_descriptions": f"""
+            SELECT DISTINCT obj AS dsc FROM ({_PROFILE_TRIPLES_SQL})
+            WHERE pred = 'dcterms:description' ORDER BY dsc LIMIT 100
+        """,
+        "f2_non_empty": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, c FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN ''
+                            WHEN doc_id % 11 = 0 THEN NULL
+                            ELSE lang END AS c
+                FROM documents)
+            WHERE c IS NOT NULL AND c <> '' ORDER BY doc_id
+        """,
+        "f5_predicate_prefix": f"""
+            SELECT CAST(p_partkey AS BIGINT) AS k, uri FROM (
+                SELECT p_partkey,
+                       CASE WHEN p_partkey % 3 = 0
+                                THEN 'http://www.w3.org/ns/' || p_brand
+                            WHEN p_partkey % 3 = 1 THEN {_PART_URI_SQL}
+                            ELSE 'urn:x:' || p_brand END AS uri
+                FROM part)
+            WHERE uri LIKE 'http://%' AND uri NOT LIKE 'http://www.w3.org%'
+            ORDER BY k
+        """,
+        "f6_lang_fallback": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+            WHERE lang = 'en'
+               OR (SELECT count(*) FROM documents WHERE lang = 'en') < 2
+            ORDER BY doc_id
+        """,
+        "f7_scrub_empty_lists": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CASE WHEN event_id % 5 = 0 THEN []::VARCHAR[]
+                        ELSE [event_type] END AS tags
+            FROM events ORDER BY event_id
+        """,
+        "f8_title_skip": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   source || ' plain' AS title
+            FROM documents WHERE doc_id % 4 <> 0 ORDER BY doc_id
+        """,
+        "a7_stratified_split": """
+            WITH ranked AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                                   doc_id) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CASE WHEN rn <= round(n * 0.8) THEN 'train'
+                        WHEN rn <= round(n * 0.9) THEN 'val'
+                        ELSE 'test' END AS fold
+            FROM ranked ORDER BY doc_id
+        """,
+        "a9_running_accuracy": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(hit AS BIGINT) AS hit,
+                   CAST(sum(hit) OVER w AS BIGINT) AS hits_so_far,
+                   CAST(count(*) OVER w AS BIGINT) AS n_so_far,
+                   CAST(sum(hit) OVER w AS BIGINT)
+                   / CAST(count(*) OVER w AS BIGINT) AS running_accuracy
+            FROM (
+                SELECT event_id, ts,
+                       CASE WHEN event_type =
+                                 (CASE WHEN value > 50 THEN 'view'
+                                       ELSE event_type END)
+                            THEN 1 ELSE 0 END AS hit
+                FROM events)
+            WINDOW w AS (ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+            ORDER BY event_id
+        """,
         "kg_pipeline_triples": kg_pipeline_sql,
         "minhash_neardup_docs": jaccard_sql,
         "simhash_neardup_docs": simhash_sql,

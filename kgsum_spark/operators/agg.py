@@ -111,16 +111,35 @@ def stratified_oversample(df: DataFrame, label: str, seed: int = 42,
 
 
 def stratified_split(df: DataFrame, label: str, weights=(0.8, 0.1, 0.1),
-                     seed: int = 42):
-    """A7 — stratified train/val/test split
+                     seed: int = 42, order_key=None):
+    """A7 — EXACTLY stratified train/val/test split, mirroring
+    `train_test_split(stratify=y)` semantics
     (/root/reference/src/pipeline_build.py:424-439, 80/10/10 seed 42).
-    Deterministic hash-free split via seeded rand + per-class quantile-free
-    thresholding (proportions hold in expectation per class)."""
-    r = df.withColumn("_u", F.rand(seed))
+
+    Per class: rows are ranked by a seeded hash (deterministic shuffle,
+    full-row tiebreak so duplicate rows still order stably), then cut at
+    round(n·w) boundaries — every class lands within rounding of the target
+    proportions in every fold, not just in expectation (the r1 global-rand
+    version could put a small class entirely in train). One shuffle (the
+    per-class window); the three folds share the ranked plan.
+
+    Pass `order_key` (a Column) to rank by an engine-portable key (e.g.
+    md5 of a unique id) instead of the default seeded xxhash64 — that
+    variant is SQL-oracle-able cross-engine."""
+    cols = df.columns
+    ord_key = order_key if order_key is not None else \
+        F.xxhash64(F.lit(seed), *[F.col(c) for c in cols])
+    w = Window.partitionBy(label).orderBy(ord_key, *[F.col(c) for c in cols])
+    ranked = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(label)))
+    )
     w1, w2 = weights[0], weights[0] + weights[1]
-    train = r.filter(F.col("_u") < w1).drop("_u")
-    val = r.filter((F.col("_u") >= w1) & (F.col("_u") < w2)).drop("_u")
-    test = r.filter(F.col("_u") >= w2).drop("_u")
+    c1 = F.round(F.col("_n") * w1).cast("long")
+    c2 = F.round(F.col("_n") * w2).cast("long")
+    train = ranked.filter(F.col("_rn") <= c1).drop("_rn", "_n")
+    val = ranked.filter((F.col("_rn") > c1) & (F.col("_rn") <= c2)).drop("_rn", "_n")
+    test = ranked.filter(F.col("_rn") > c2).drop("_rn", "_n")
     return train, val, test
 
 
@@ -150,4 +169,27 @@ def classification_metrics(df: DataFrame, label: str, pred: str) -> DataFrame:
         F.when(F.col("precision") + F.col("recall") > 0,
                2 * F.col("precision") * F.col("recall")
                / (F.col("precision") + F.col("recall"))).otherwise(F.lit(0.0)),
+    )
+
+
+def running_accuracy(df: DataFrame, label: str, pred: str, order_col,
+                     partition_by: str | None = None) -> DataFrame:
+    """A9 — cumulative hit/miss accuracy over an ordered eval stream
+    (the reference's live-eval counter,
+    /root/reference/src/service/lod_category_llm.py:99-145).
+
+    One window expression: avg(hit) over rows unbounded preceding. The
+    reference's stream is inherently sequential (one global counter); pass
+    `partition_by` to track per-stream counters instead — the global form
+    funnels through a single task by definition and is meant for eval-set
+    sizes, not corpus scale."""
+    hit = (F.col(label) == F.col(pred)).cast("int")
+    base = Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+    w = base.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        df.withColumn("hit", hit)
+        .withColumn("hits_so_far", F.sum("hit").over(w))
+        .withColumn("n_so_far", F.count(F.lit(1)).over(w))
+        .withColumn("running_accuracy",
+                    F.col("hits_so_far") / F.col("n_so_far"))
     )

@@ -64,10 +64,20 @@ def lang_filter_with_fallback(df: DataFrame, lang_col: str = "o_lang",
     """F6 — prefer rows in `lang`; if fewer than min_rows match, fall back
     to the unfiltered set (/root/reference/src/dataset_preparation.py:136-168
     re-queries without the language filter when the first pass is empty).
-    Computed as one plan: count via window-free aggregate, pick branch."""
-    matched = df.filter(F.col(lang_col) == lang)
-    n = matched.limit(min_rows).count()
-    return matched if n >= min_rows else df
+
+    ONE declarative plan (no eager count() job): the match count is a
+    1-row aggregate broadcast-cross-joined back, and the filter keeps a row
+    iff it matches OR the whole set is falling back. The r1 version ran an
+    extra job + second scan whenever the fallback fired."""
+    is_match = F.col(lang_col) == lang
+    counts = df.agg(
+        F.count(F.when(is_match, F.lit(1))).alias("_n_match")
+    )
+    return (
+        df.crossJoin(F.broadcast(counts))
+        .filter(is_match | (F.col("_n_match") < min_rows))
+        .drop("_n_match")
+    )
 
 
 def scrub_empty_lists(df: DataFrame, cols: list[str]) -> DataFrame:

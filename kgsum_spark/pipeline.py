@@ -47,29 +47,48 @@ def _stage_done(work_dir: str, stage: str) -> bool:
     )
 
 
+def _footer_lineage(path: str) -> list[dict]:
+    """Rows per write task from parquet FOOTERS only — no data scan. The
+    `part-NNNNN` index in each file name is the writing task's id, so
+    summing footer row counts per index reconstructs per-partition lineage
+    from metadata (r1 re-read and re-aggregated the full stage output: a
+    second full scan per stage — 2× I/O at 100 TB)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    lineage: dict[int, int] = {}
+    pat = re.compile(r"part-(\d+)")
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            m = pat.search(fn)
+            pid = int(m.group(1)) if m else -1
+            nrows = pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+            lineage[pid] = lineage.get(pid, 0) + nrows
+    return [{"part_id": k, "rows": v} for k, v in sorted(lineage.items())]
+
+
 def _write_stage(
     df: DataFrame, work_dir: str, stage: str, partition_by: list[str] | None = None
 ) -> dict:
-    """Write checkpoint + marker. Lineage = rows per physical write partition
-    (spark_partition_id at write time), per north_rule."""
+    """Write checkpoint + marker. Lineage = rows per write task, recovered
+    metadata-only from parquet footers, per north_rule. At cluster scale
+    the footer walk is a driver-side listing of file metadata (could be
+    distributed over a file-list RDD if the file count demands it)."""
     t0 = time.time()
     path = os.path.join(work_dir, stage)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    back = df.sparkSession.read.schema(df.schema).parquet(path)
-    lineage = [
-        {"part_id": r["pid"], "rows": r["rows"]}
-        for r in back.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("rows"))
-        .collect()
-    ]
+    lineage = _footer_lineage(path)
     meta = {
         "stage": stage,
         "rows": sum(p["rows"] for p in lineage),
         "partitions": len(lineage),
-        "lineage": sorted(lineage, key=lambda p: p["part_id"]),
+        "lineage": lineage,
         "wall_sec": round(time.time() - t0, 3),
         "schema": df.schema.jsonValue(),
     }

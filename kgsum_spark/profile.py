@@ -94,8 +94,10 @@ def labels(t: DataFrame, limit: int = 1000,
         .join(typed, "subj", "left_semi")
     )
     if lang_col and lang_col in t.columns:
-        en = lab.filter(F.col(lang_col) == "en")
-        lab = en if en.limit(2).count() >= 2 else lab  # F6 fallback
+        # F6 fallback as ONE plan (broadcast 1-row count, no eager job)
+        from .operators.filters import lang_filter_with_fallback
+
+        lab = lang_filter_with_fallback(lab, lang_col=lang_col, lang="en")
     return lab.select(F.col("obj").alias("lab")).distinct().orderBy("lab").limit(limit)
 
 

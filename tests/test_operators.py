@@ -193,3 +193,50 @@ def test_f8_title_skip(spark):
     df = spark.createDataFrame([("My Wikidata Dump",), ("Clean Set",)], ["title"])
     got = [r["title"] for r in filters.title_skip(df).collect()]
     assert got == ["Clean Set"]
+
+
+def test_stratified_split_exact_proportions(spark):
+    """r2: the split must be EXACTLY stratified per class (r1's global-rand
+    threshold held only in expectation — a small class could land entirely
+    in train)."""
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, lbl string")
+    train, val, test = agg.stratified_split(df, "lbl", weights=(0.8, 0.1, 0.1), seed=42)
+    for fold, want_big, want_small in ((train, 80, 8), (val, 10, 1), (test, 10, 1)):
+        got = {r["lbl"]: r["n"] for r in
+               fold.groupBy("lbl").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got == {"big": want_big, "small": want_small}
+    # folds are disjoint and exhaustive
+    ids = [set(r["id"] for r in f.collect()) for f in (train, val, test)]
+    assert len(ids[0] | ids[1] | ids[2]) == 110
+    assert not (ids[0] & ids[1]) and not (ids[1] & ids[2]) and not (ids[0] & ids[2])
+
+
+def test_stratified_split_deterministic(spark):
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, lbl string")
+    t1, _, _ = agg.stratified_split(df, "lbl", seed=7)
+    t2, _, _ = agg.stratified_split(df, "lbl", seed=7)
+    assert {r["id"] for r in t1.collect()} == {r["id"] for r in t2.collect()}
+
+
+def test_running_accuracy(spark):
+    rows = [(1, "a", "a"), (2, "a", "b"), (3, "a", "a"), (4, "b", "b")]
+    df = spark.createDataFrame(rows, "ts long, lbl string, pred string")
+    out = {r["ts"]: (r["hits_so_far"], r["n_so_far"], r["running_accuracy"])
+           for r in agg.running_accuracy(df, "lbl", "pred", F.col("ts")).collect()}
+    assert out == {1: (1, 1, 1.0), 2: (1, 2, 0.5),
+                   3: (2, 3, 2 / 3), 4: (3, 4, 0.75)}
+
+
+def test_lang_fallback_branches(spark):
+    from kgsum_spark.operators.filters import lang_filter_with_fallback
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de")], "id long, o_lang string")
+    kept = lang_filter_with_fallback(df, min_rows=2)
+    assert {r["id"] for r in kept.collect()} == {1, 2}
+    # under min_rows matches → whole set falls back (single-plan, no job)
+    df2 = spark.createDataFrame([(1, "en"), (3, "de")], "id long, o_lang string")
+    kept2 = lang_filter_with_fallback(df2, min_rows=2)
+    assert {r["id"] for r in kept2.collect()} == {1, 3}
