@@ -171,3 +171,133 @@ def predict_category_multi(models: dict[str, object], df: DataFrame,
     for p in parts[1:]:
         all_preds = all_preds.unionByName(p)
     return vote_argmax(all_preds, id_col, "label", alias="category")
+
+
+# --- N5: estimator grid + randomized hyper-search (r2) --------------------
+#
+# The reference trains SVM / NaiveBayes / KNN / J48 through
+# RandomizedSearchCV(n_iter<=50, cv=2, scoring='f1_weighted', seed 42)
+# (/root/reference/src/pipeline_build.py:457-533). Spark-first analog:
+# TrainValidationSplit (one split ~ cv=2's train/val halves) over a seeded
+# random subsample of the param grid, scored with the weighted-F1
+# MulticlassClassificationEvaluator. KNN has no scalable exact Spark ML
+# estimator (and datapipe.similarity.knn_join covers the kNN surface), so
+# the grid here is NB / LinearSVC(OneVsRest) / DecisionTree.
+
+
+def _estimator_and_grid(estimator_type: str, seed: int):
+    from pyspark.ml.classification import (
+        DecisionTreeClassifier,
+        LinearSVC,
+        NaiveBayes,
+        OneVsRest,
+    )
+
+    if estimator_type == "nb":
+        est = NaiveBayes(featuresCol="_features", labelCol="_label")
+        # alpha grid: linspace(0.01, 2, 10) per the reference
+        grid = {est.smoothing: [0.01 + i * (2 - 0.01) / 9 for i in range(10)]}
+        return est, grid
+    if estimator_type == "svm":
+        svc = LinearSVC(featuresCol="_features", labelCol="_label", maxIter=30)
+        est = OneVsRest(classifier=svc, featuresCol="_features",
+                        labelCol="_label", parallelism=2)
+        # C grid: logspace(-2, 2, 8); regParam ~ 1/C
+        grid = {svc.regParam: [10 ** (-2 + i * 4 / 7) for i in range(8)]}
+        return est, grid
+    if estimator_type == "dt":
+        est = DecisionTreeClassifier(featuresCol="_features", labelCol="_label",
+                                     seed=seed)
+        grid = {
+            est.maxDepth: [2, 5, 10, 20],
+            est.minInstancesPerNode: [1, 2, 5],
+            est.impurity: ["gini", "entropy"],
+        }
+        return est, grid
+    raise ValueError(f"unsupported estimator_type {estimator_type!r}")
+
+
+def hyper_search_classifier(df: DataFrame, text_col: str, label_col: str,
+                            estimator_type: str = "nb", n_iter: int = 50,
+                            seed: int = 42, train_ratio: float = 0.5):
+    """N5 — randomized hyper-search for one estimator type. Returns
+    (best_pipeline_model, info) where info carries the chosen param values
+    and the validation weighted-F1 of every sampled combo.
+
+    Semantics mirrored from the reference: sample min(n_iter, |grid|)
+    combos with a seed-42 RNG, score each on a held-out split with
+    weighted F1, keep the best. Each candidate fit is a distributed Spark
+    ML job; TrainValidationSplit runs candidates with parallelism=2."""
+    import itertools
+    import random
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import (
+        IDF,
+        CountVectorizer,
+        IndexToString,
+        SQLTransformer,
+        StringIndexer,
+    )
+    from pyspark.ml.tuning import TrainValidationSplit
+
+    est, grid = _estimator_and_grid(estimator_type, seed)
+    params = list(grid.keys())
+    combos = list(itertools.product(*[grid[p] for p in params]))
+    rnd = random.Random(seed)
+    if len(combos) > n_iter:
+        combos = rnd.sample(combos, n_iter)
+    param_maps = [dict(zip(params, combo)) for combo in combos]
+
+    tok = SQLTransformer(statement=(
+        "SELECT *, filter(split(lower(coalesce({c}, '')), '[^a-z0-9]+'), "
+        "x -> length(x) >= 2) AS _toks FROM __THIS__"
+    ).format(c=text_col))
+    cv = CountVectorizer(inputCol="_toks", outputCol="_tf", vocabSize=10_000)
+    idf = IDF(inputCol="_tf", outputCol="_features")
+    si = StringIndexer(inputCol=label_col, outputCol="_label", handleInvalid="keep")
+    pipe = Pipeline(stages=[tok, cv, idf, si, est])
+
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol="_label", predictionCol="prediction", metricName="f1"
+    )
+    tvs = TrainValidationSplit(
+        estimator=pipe, estimatorParamMaps=param_maps, evaluator=evaluator,
+        trainRatio=train_ratio, seed=seed, parallelism=2,
+    )
+    model = tvs.fit(df)
+    best_idx = max(range(len(param_maps)),
+                   key=lambda i: (model.validationMetrics[i], -i))
+    info = {
+        "estimator_type": estimator_type,
+        "best_f1_weighted": float(model.validationMetrics[best_idx]),
+        "best_params": {p.name: v for p, v in param_maps[best_idx].items()},
+        "n_candidates": len(param_maps),
+        "validation_metrics": [float(m) for m in model.validationMetrics],
+    }
+    return model.bestModel, info
+
+
+def train_best_classifier(df: DataFrame, text_col: str, label_col: str,
+                          estimator_types: tuple = ("nb", "svm", "dt"),
+                          n_iter: int = 50, seed: int = 42):
+    """N5 best-model pick across estimator TYPES (the reference trains each
+    ClassifierType and model_evaluation keeps the best by accuracy/F1,
+    /root/reference/src/pipeline_build.py:107-149): run the randomized
+    search per type, keep the highest validation weighted-F1; ties broken
+    by estimator-type order for determinism. The winning PipelineModel is
+    wrapped with IndexToString so predictions surface as labels."""
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.feature import IndexToString
+
+    best = None
+    for et in estimator_types:
+        m, info = hyper_search_classifier(df, text_col, label_col, et,
+                                          n_iter=n_iter, seed=seed)
+        if best is None or info["best_f1_weighted"] > best[1]["best_f1_weighted"]:
+            best = (m, info)
+    model, info = best
+    i2s = IndexToString(inputCol="prediction", outputCol="prediction_label",
+                        labels=model.stages[3].labelsArray[0])
+    return PipelineModel(stages=list(model.stages) + [i2s]), info

@@ -3,6 +3,7 @@ per-feature classifiers with vote (SURVEY.md §2.10)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kgsum_spark import nlp
@@ -87,3 +88,57 @@ def test_n9_multi_model_train_save_load(spark, tmp_path):
              nlp.predict_category_multi(
                  {"f1": loaded["f1"]}, test.withColumnRenamed("f1", "f1")).collect()}
     assert voted["t1"] == "engine"
+
+
+# --- r2: N5 hyper-search + estimator grid ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def labeled_docs(spark):
+    rows = []
+    for i in range(60):
+        rows.append((i, f"spark query engine plan shuffle stage {i % 3}", "tech"))
+        rows.append((100 + i, f"banana apple fruit salad kitchen recipe {i % 3}", "food"))
+    return spark.createDataFrame(rows, "id long, text string, label string")
+
+
+def test_hyper_search_nb_deterministic(labeled_docs):
+    from kgsum_spark.nlp import hyper_search_classifier
+
+    m1, i1 = hyper_search_classifier(labeled_docs, "text", "label", "nb", n_iter=3)
+    m2, i2 = hyper_search_classifier(labeled_docs, "text", "label", "nb", n_iter=3)
+    assert i1["best_params"] == i2["best_params"]
+    assert i1["validation_metrics"] == i2["validation_metrics"]
+    assert i1["n_candidates"] == 3
+    assert i1["best_f1_weighted"] > 0.9  # trivially separable corpus
+
+
+def test_hyper_search_dt_grid(labeled_docs):
+    from kgsum_spark.nlp import hyper_search_classifier
+
+    m, info = hyper_search_classifier(labeled_docs, "text", "label", "dt", n_iter=4)
+    assert info["n_candidates"] == 4
+    assert set(info["best_params"]) <= {"maxDepth", "minInstancesPerNode", "impurity"}
+    assert info["best_f1_weighted"] > 0.9
+
+
+def test_train_best_classifier_picks_and_predicts(labeled_docs):
+    from kgsum_spark.nlp import train_best_classifier
+    from kgsum_spark.operators.agg import classification_metrics
+
+    model, info = train_best_classifier(
+        labeled_docs, "text", "label", estimator_types=("nb", "dt"), n_iter=2)
+    assert info["estimator_type"] in ("nb", "dt")
+    pred = model.transform(labeled_docs).select(
+        "label", F.col("prediction_label").alias("pred"))
+    m = {r["cls"]: r for r in
+         classification_metrics(pred, "label", "pred").collect()}
+    assert m["tech"]["f1"] > 0.9 and m["food"]["f1"] > 0.9
+
+
+def test_hyper_search_svm_runs(labeled_docs):
+    from kgsum_spark.nlp import hyper_search_classifier
+
+    m, info = hyper_search_classifier(labeled_docs, "text", "label", "svm", n_iter=2)
+    assert info["n_candidates"] == 2
+    assert info["best_f1_weighted"] > 0.9
