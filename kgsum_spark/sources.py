@@ -118,10 +118,13 @@ def read_rdf_with_rdflib(spark: SparkSession, path: str, fmt: str = "turtle") ->
 
 
 def guess_and_read(spark: SparkSession, path: str) -> DataFrame:
-    """S1 try-parse chain analog: nt/nq native, else rdflib formats
+    """S1 try-parse chain analog: nt/nq native, ttl via the built-in
+    subset parser (rdflib-free), remaining formats via rdflib
     (/root/reference/src/dataset_preparation.py:371-378)."""
     if path.endswith((".nt", ".nq", ".nquads")):
         return read_ntriples(spark, path)
+    if path.endswith((".ttl", ".turtle")):
+        return read_turtle(spark, path)
     for fmt in ("turtle", "xml", "trig", "n3"):
         try:
             return read_rdf_with_rdflib(spark, path, fmt)
@@ -179,4 +182,178 @@ def nt_lines_from_triples(t: DataFrame) -> DataFrame:
             F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"), F.lit("> "),
             obj, F.lit(" ."),
         ).alias("value")
+    )
+
+
+# --- S1: pure-Python Turtle-subset parser (r2) -----------------------------
+#
+# Covers the common Turtle grammar per the public W3C spec: @prefix/@base
+# (and SPARQL-style PREFIX/BASE), IRIs, prefixed names, 'a', blank-node
+# labels, ';'/',' predicate-object lists, short/long single/double-quoted
+# literals with @lang / ^^datatype, numeric and boolean abbreviations.
+# Anonymous blank-node property lists '[...]' and collections '(...)' are
+# NOT in the subset — inputs using them raise with a pointer to the rdflib
+# seam (read_rdf_with_rdflib), mirroring the reference's try-parse chain
+# (/root/reference/src/dataset_preparation.py:371-378).
+
+_TTL_TOKEN = __import__("re").compile(
+    r"""
+      (?P<comment>\#[^\n]*)
+    | (?P<lstr>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
+    | (?P<str>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+    | (?P<iri><[^<>"{}|^`\\\x00-\x20]*>)
+    | (?P<kw>@prefix|@base|(?i:PREFIX|BASE)(?=[\s<]))
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<dtype>\^\^)
+    | (?P<punct>[;,.\[\]()])
+    | (?P<num>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+      # PN_LOCAL / bnode labels may contain dots but must not END with one
+      # (else 'ex:a.' would swallow the statement terminator)
+    | (?P<pname>[A-Za-z_][\w.-]*?:(?:[\w.:%-]*[\w:%-])?
+               |_:[\w.-]*[\w-]
+               |[A-Za-z_][\w-]*:?)
+    """,
+    __import__("re").VERBOSE,
+)
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _ttl_tokens(text: str):
+    pos, n = 0, len(text)
+    while pos < n:
+        if text[pos].isspace():
+            pos += 1
+            continue
+        m = _TTL_TOKEN.match(text, pos)
+        if not m:
+            raise ValueError(f"turtle: cannot tokenize at offset {pos}: "
+                             f"{text[pos:pos+40]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "comment":
+            continue
+        yield kind, m.group()
+
+
+def parse_turtle(text: str) -> list[tuple]:
+    """Parse a Turtle document (subset) → rows matching TRIPLES_NT_SCHEMA:
+    (s, p, o, o_is_iri, o_lang, o_datatype, g=None)."""
+    import re
+
+    prefixes: dict[str, str] = {}
+    base = [""]
+    toks = list(_ttl_tokens(text))
+    i = 0
+    rows: list[tuple] = []
+
+    def resolve_iri(tok: str) -> str:
+        iri = tok[1:-1]
+        if base[0] and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            return base[0] + iri
+        return iri
+
+    def resolve_pname(tok: str) -> str:
+        if tok.startswith("_:"):
+            return tok
+        pfx, _, local = tok.partition(":")
+        if pfx + ":" not in prefixes:
+            raise ValueError(f"turtle: undefined prefix {pfx!r}:")
+        return prefixes[pfx + ":"] + local
+
+    def unquote(tok: str) -> str:
+        body = tok[3:-3] if tok[:3] in ('"""', "'''") else tok[1:-1]
+        return re.sub(
+            r"\\([ntrbf\\\"'])", lambda m: _ECHAR[m.group(1)], body
+        )
+
+    def term(j: int, as_subject: bool = False):
+        kind, tok = toks[j]
+        if kind == "iri":
+            return ("iri", resolve_iri(tok)), j + 1
+        if kind == "pname":
+            if tok == "a" and not as_subject:
+                return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), j + 1
+            if tok in ("true", "false"):
+                return ("lit", tok, None, _XSD + "boolean"), j + 1
+            return (("bnode", tok) if tok.startswith("_:")
+                    else ("iri", resolve_pname(tok))), j + 1
+        if kind in ("str", "lstr"):
+            val = unquote(tok)
+            if j + 1 < len(toks) and toks[j + 1][0] == "langtag":
+                return ("lit", val, toks[j + 1][1][1:], None), j + 2
+            if j + 1 < len(toks) and toks[j + 1][0] == "dtype":
+                dt, j2 = term(j + 2)
+                return ("lit", val, None, dt[1]), j2
+            return ("lit", val, None, None), j + 1
+        if kind == "num":
+            dt = ("integer" if re.fullmatch(r"[+-]?\d+", tok)
+                  else "double" if "e" in tok.lower() else "decimal")
+            return ("lit", tok, None, _XSD + dt), j + 1
+        if kind == "punct" and tok in "[(":
+            raise NotImplementedError(
+                "turtle subset: anonymous blank nodes '[...]' and "
+                "collections '(...)' need rdflib (read_rdf_with_rdflib)"
+            )
+        raise ValueError(f"turtle: unexpected token {tok!r}")
+
+    def expect_punct(j: int, ch: str) -> int:
+        if j >= len(toks) or toks[j] != ("punct", ch):
+            got = toks[j][1] if j < len(toks) else "<eof>"
+            raise ValueError(f"turtle: expected {ch!r}, got {got!r}")
+        return j + 1
+
+    while i < len(toks):
+        kind, tok = toks[i]
+        if kind == "kw":
+            kw = tok.lower().lstrip("@")
+            if kw == "prefix":
+                pfx = toks[i + 1][1]
+                iri = resolve_iri(toks[i + 2][1])
+                prefixes[pfx if pfx.endswith(":") else pfx + ":"] = iri
+                i += 3
+            else:  # base
+                base[0] = toks[i + 1][1][1:-1]
+                i += 2
+            if i < len(toks) and toks[i] == ("punct", "."):
+                i += 1  # @prefix form ends with '.'; SPARQL PREFIX doesn't
+            continue
+        subj, i = term(i, as_subject=True)
+        while True:
+            pred, i = term(i)
+            while True:
+                obj, i = term(i)
+                if obj[0] == "lit":
+                    rows.append((subj[1], pred[1], obj[1], False,
+                                 obj[2], obj[3], None))
+                else:
+                    rows.append((subj[1], pred[1], obj[1], obj[0] == "iri",
+                                 None, None, None))
+                if i < len(toks) and toks[i] == ("punct", ","):
+                    i += 1
+                    continue
+                break
+            if i < len(toks) and toks[i] == ("punct", ";"):
+                i += 1
+                if i < len(toks) and toks[i] == ("punct", "."):  # trailing ;
+                    break
+                continue
+            break
+        i = expect_punct(i, ".")
+    return rows
+
+
+def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+    """S1 (ttl, rdflib-free subset): whole-document scan → parse_turtle per
+    file inside mapInPandas. Turtle is not splittable (prefix state spans
+    the document), so parallelism is per-FILE — a directory of shards
+    parallelizes; one giant .ttl does not (convert to .nt for that)."""
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["s", "p", "o", "o_is_iri", "o_lang", "o_datatype", "g"]
+        for pdf in batches:
+            for doc in pdf["value"]:
+                yield pd.DataFrame(parse_turtle(doc or ""), columns=cols)
+
+    return spark.read.text(path, wholetext=True).mapInPandas(
+        parse, TRIPLES_NT_SCHEMA
     )

@@ -105,3 +105,74 @@ def test_echar_escape_roundtrip(spark, tmp_path):
     back = sources.read_ntriples(spark, out)
     got = {r["p"]: r["o"] for r in back.collect()}
     assert got == {f"http://ex/p{i}": o for i, o in enumerate(hard)}
+
+
+# --- r2: Turtle-subset parser ----------------------------------------------
+
+TTL = """\
+@prefix rdf:  <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix ex:   <http://ex/> .
+@base <http://d/> .
+
+# a comment
+<s1> a <http://v/Person> ;
+     rdfs:label "Alice" , "K\\"noten"@de .
+ex:s2 ex:p "42"^^<http://www.w3.org/2001/XMLSchema#integer> ;
+      ex:q 7 ;
+      ex:r 1.5 ;
+      ex:bool true .
+_:b1 ex:p ex:s2 .
+<s3> rdfs:comment \"\"\"multi
+line\"\"\" .
+"""
+
+
+def test_parse_turtle_subset():
+    rows = sources.parse_turtle(TTL)
+    got = {(r[0], r[1], r[2]) for r in rows}
+    assert ("http://d/s1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://v/Person") in got
+    assert ("http://d/s1", "http://www.w3.org/2000/01/rdf-schema#label",
+            "Alice") in got
+    by = {(r[0], r[2]): r for r in rows}
+    de = by[("http://d/s1", 'K"noten')]
+    assert de[4] == "de" and de[3] is False
+    num = by[("http://ex/s2", "42")]
+    assert num[5] == "http://www.w3.org/2001/XMLSchema#integer"
+    assert by[("http://ex/s2", "7")][5].endswith("integer")
+    assert by[("http://ex/s2", "1.5")][5].endswith("decimal")
+    assert by[("http://ex/s2", "true")][5].endswith("boolean")
+    bn = by[("_:b1", "http://ex/s2")]
+    assert bn[3] is True  # prefixed-name object is an IRI
+    assert by[("http://d/s3", "multi\nline")][3] is False
+    assert len(rows) == 9
+
+
+def test_read_turtle_matches_nt_twin(spark, tmp_path):
+    """The .ttl fixture must parse to the same triples table as its .nt
+    twin (VERDICT r1 task 9)."""
+    ttl = tmp_path / "g.ttl"
+    ttl.write_text(
+        "@prefix ex: <http://ex/> .\n"
+        "ex:s1 a ex:Person ; ex:label \"Alice\" .\n"
+        "ex:s2 ex:p ex:s1 .\n"
+    )
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        "<http://ex/s1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/Person> .\n"
+        '<http://ex/s1> <http://ex/label> "Alice" .\n'
+        "<http://ex/s2> <http://ex/p> <http://ex/s1> .\n"
+    )
+    t1 = {tuple(r) for r in sources.guess_and_read(spark, str(ttl))
+          .select("s", "p", "o", "o_is_iri").collect()}
+    t2 = {tuple(r) for r in sources.guess_and_read(spark, str(nt))
+          .select("s", "p", "o", "o_is_iri").collect()}
+    assert t1 == t2 and len(t1) == 3
+
+
+def test_turtle_unsupported_constructs_raise():
+    with pytest.raises(NotImplementedError):
+        sources.parse_turtle("@prefix ex: <http://ex/> .\nex:s ex:p [ ex:q 1 ] .")
+    with pytest.raises(ValueError):
+        sources.parse_turtle("undefined:s <http://p> <http://o> .")
