@@ -45,7 +45,9 @@ OPERATOR_QUERIES = [
     "minhash_neardup_docs",
     "simhash_neardup_docs",
     "ann_cosine_topk",
+    "ann_lsh_pairs_embeddings",
     "kg_flagship_histogram",
+    "kg_pipeline_triples",
 ]
 
 

@@ -85,22 +85,31 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) — distinct word n-grams per document."""
-    df = _spread(df, id_col)
+def _gram_array(text_col: str, n: int):
+    """array<struct<g0..g{n-1}>> of word n-grams for one row. Struct-valued
+    shingles: identity is the token TUPLE (exact — tokens cannot contain
+    the split character), built with O(1) element_at lookups instead of
+    slice+array_join string building, which profiled 10× slower (the
+    per-gram array copy + join dominated the whole MinHash stage)."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    # documents shorter than n tokens yield no shingles (not a short gram)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
+    make = lambda i: F.struct(  # noqa: E731
+        *[F.element_at(toks, i + j).alias(f"g{j}") for j in range(n)]
     )
+    empty_t = "array<struct<" + ", ".join(f"g{j}: string" for j in range(n)) + ">>"
+    # documents shorter than n tokens yield no shingles (not a short gram)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), make),
+    ).otherwise(F.array().cast(empty_t))
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document (struct-valued)."""
+    df = _spread(df, id_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_gram_array(text_col, n))).alias("shingle"),
+    ).filter(F.col("shingle.g0") != "")  # n=1 on empty text yields one "" token
 
 
 def ngram_jaccard_pairs(
@@ -154,9 +163,13 @@ def minhash_signatures(
 
     rnd = random.Random(seed)
     perms = [(rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE)) for _ in range(num_perm)]
+    # Explode + 64 codegen'd min-aggregates. Measured alternatives at sf0.1
+    # (5000 docs, 260k shingles, warm): this plan 1.0s; a "zero-shuffle"
+    # per-row array_min(transform(...)) rewrite 12s — higher-order lambdas
+    # evaluate interpreted per element, so 64 HOF passes lose to one
+    # whole-stage-codegen aggregate even though the latter shuffles.
     sh = _shingles(df, id_col, text_col, n)
     hashed = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)))
-    # aggregate the permuted mins directly — no per-row 64-element array
     agg = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE)).alias(f"m{i}")
         for i, (a, b) in enumerate(perms)
@@ -282,13 +295,20 @@ def exact_ngram_jaccard_on_pairs(
     """(a, b) candidate pairs → (a, b, jaccard) with EXACT word-n-gram
     Jaccard. Shingle scan is semi-join-pruned to the candidate doc ids, so
     cost is proportional to candidates, not corpus."""
+    from pyspark import StorageLevel
+
+    # pairs feeds THREE consumers (two id unions + the common-join) and the
+    # pruned shingle set two — persist both or the upstream subtrees (the
+    # full LSH join, the corpus shingle scan) run once per consumer. Both
+    # frames are candidate-proportional, not corpus-proportional.
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     sh = _shingles(df, id_col, text_col, n)
     ids = (
         pairs.select(F.col("a").alias("id"))
         .unionByName(pairs.select(F.col("b").alias("id")))
         .distinct()
     )
-    sh = sh.join(ids, "id", "left_semi")
+    sh = sh.join(ids, "id", "left_semi").persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         pairs.join(sh.select(F.col("id").alias("a"), "shingle"), "a")
@@ -315,8 +335,17 @@ def minhash_neardup_verified(
     jaccard ≥ threshold). Emitted values are hash-independent: MinHash only
     prunes the pair space. 32 bands × 2 rows: P(miss | J=0.5) =
     (1-0.25)^32 ≈ 1e-4 per pair (tests assert recall 1.0 vs brute force on
-    the testdata corpora at sf0.001/0.01/0.1)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    the testdata corpora at sf0.001/0.01/0.1).
+
+    Signatures are persisted before banding: the LSH bucket self-join
+    consumes them twice, and without the persist Spark recomputes the
+    whole signature subtree for each side. Signature volume is num_perm
+    longs per DOCUMENT (vocabulary-sized, not corpus-sized) — safe to
+    persist at any scale."""
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band, num_perm).select("a", "b")
     return (
         exact_ngram_jaccard_on_pairs(cand, df, id_col, text_col, n)
@@ -368,6 +397,9 @@ def simhash_hamming_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     agree on at least one block — every true pair is a candidate in some
     block's bucket join. Exact bit_count(xor) then decides. (The classical
     multi-index Hamming scheme; single-prefix blocking was the r1 gap.)"""
+    from pyspark import StorageLevel
+
+    sim = sim.persist(StorageLevel.MEMORY_AND_DISK)  # self-join reads it twice
     n_blocks = max_hamming + 1
     bpb = _SIMHASH_BITS // n_blocks
     blocks = []

@@ -157,9 +157,11 @@ def multi_lsh_candidates(
             })
             yield out
 
+    from pyspark import StorageLevel
+
     sigs = df.select(id_col, vec_col).mapInPandas(
         gen, "id long, table int, bucket long"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # self-join reads it twice
     a = sigs.select(F.col("id").alias("a"), "table", "bucket")
     b = sigs.select(F.col("id").alias("b"), "table", "bucket")
     return (
@@ -179,7 +181,10 @@ def ann_pairs_verified(
     LSH candidates — emitted values are hash-independent (the LSH stage
     only prunes), so a brute-force SQL oracle checks the result. Tests
     assert recall 1.0 vs brute force on testdata at sf0.001/0.01/0.1."""
-    cand = multi_lsh_candidates(df, dim, n_planes, n_tables, seed, id_col, vec_col)
+    from pyspark import StorageLevel
+
+    cand = multi_lsh_candidates(df, dim, n_planes, n_tables, seed, id_col, vec_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     vecs = df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
     return (
         cand.join(vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
