@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real and tested — schema, partition-preserving
-mapInPandas, Arrow batch shape, deterministic fake decoders. The actual
-codec work is stubbed: this container ships no image/audio libraries, so
-`decode_image(..., fake=False)` raises NotImplementedError at the exact
-seam where Pillow/ffmpeg would plug in. The fake decoders are deterministic
-functions of the bytes (sha-derived), so tests are stable.
+Two tiers (r2):
+- REAL decoders for library-free formats — PPM and uncompressed BMP images
+  (numpy), PCM WAV audio (stdlib `wave`), concatenated-PPM frame streams —
+  `decode_image_real`, `resize_images`, `extract_audio_features_real`,
+  `sample_frames_real`: actual pixels/samples, batch-shaped in mapInPandas.
+- Library seams for compressed formats (JPEG/PNG/MP4): this container
+  ships no Pillow/ffmpeg, so `decode_image(..., fake=False)` raises
+  NotImplementedError at the exact plug-in point; the deterministic fake
+  decoders (sha-derived) keep that plumbing tested.
 """
 
 from __future__ import annotations
@@ -134,4 +137,239 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
                 F.lit("resize_h"), F.lit(str(height)),
             ),
         ),
+    )
+
+
+# --- r2: REAL decoders for formats that need no external libraries --------
+#
+# The container ships no Pillow/ffmpeg, but several real formats are
+# decodable with stdlib + numpy: PPM (P6/P3), uncompressed 24-bit BMP, and
+# PCM WAV (stdlib `wave`). These upgrade the image/audio paths from
+# deterministic fakes to real codec work — batch-shaped inside mapInPandas,
+# numpy-vectorized per frame. Compressed formats (JPEG/PNG/MP4) still route
+# to the library seams above.
+
+IMAGE_FEATURES_REAL_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double, sha string"
+)
+
+AUDIO_FEATURES_REAL_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, channels int, "
+    "rms double, duration_sec double, sha string"
+)
+
+
+def _decode_ppm(b: bytes):
+    """PPM P6 (binary) / P3 (ascii) → (h, w, 3) uint8 array. Grammar per
+    the public Netpbm spec: magic, whitespace/comment-separated width,
+    height, maxval, then raster."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"(P[36])\s", b)
+    if not m:
+        raise ValueError("not a PPM payload")
+    magic = m.group(1)
+    # header tokens with comment support
+    pos, vals = m.end(), []
+    while len(vals) < 3:
+        chunk = re.match(rb"\s*(?:#[^\n]*\n\s*)*(\d+)", b[pos:])
+        if not chunk:
+            raise ValueError("truncated PPM header")
+        vals.append(int(chunk.group(1)))
+        pos += chunk.end()
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    if magic == b"P6":
+        raster = b[pos + 1: pos + 1 + w * h * 3]  # single whitespace after maxval
+        arr = np.frombuffer(raster, dtype=np.uint8, count=w * h * 3)
+    else:
+        arr = np.array(b[pos:].split()[: w * h * 3], dtype=np.uint8)
+    return arr.reshape(h, w, 3)
+
+
+def _encode_ppm(arr) -> bytes:
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def _decode_bmp(b: bytes):
+    """Uncompressed 24/32-bit BI_RGB BMP → (h, w, 3) uint8 array (top-down
+    row order). Layout per the public BMP file-format spec."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<IiI", b, 14)[0], *struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    nch = bpp // 8
+    flip = h > 0          # positive height = bottom-up rows
+    h = abs(h)
+    row_bytes = (w * nch + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(b, dtype=np.uint8, offset=data_off,
+                         count=row_bytes * h).reshape(h, row_bytes)
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    if flip:
+        px = px[::-1]
+    # BGR(A) → RGB
+    return px[:, :, [2, 1, 0]].copy()
+
+
+_IMAGE_DECODERS = {
+    "image/x-portable-pixmap": _decode_ppm,
+    "image/ppm": _decode_ppm,
+    "image/bmp": _decode_bmp,
+}
+
+
+def decode_image_real(media: DataFrame) -> DataFrame:
+    """REAL image decode + feature extraction for library-free formats
+    (PPM, uncompressed BMP): dimensions and per-channel means from the
+    actual pixels. Unknown/compressed mimes raise per row with the format
+    name — route those through the Pillow seam (decode_image fake=False)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, content in zip(pdf["media_id"], pdf["mime"], pdf["content"]):
+                dec = _IMAGE_DECODERS.get(mime or "")
+                if dec is None:
+                    raise NotImplementedError(
+                        f"no library-free decoder for {mime!r}; PPM/BMP are "
+                        "supported natively, others need the Pillow seam"
+                    )
+                px = dec(bytes(content))
+                means = px.reshape(-1, px.shape[2]).mean(axis=0)
+                rows.append((mid, px.shape[1], px.shape[0], px.shape[2],
+                             float(means[0]), float(means[1]), float(means[2]),
+                             _sha(bytes(content))))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "channels",
+                "mean_r", "mean_g", "mean_b", "sha"])
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "mime", "content")
+        .mapInPandas(run, schema=IMAGE_FEATURES_REAL_SCHEMA)
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize (nearest-neighbor via numpy index grids) for PPM/BMP
+    content; output content is re-encoded as PPM. Returns the media table
+    with content replaced and meta recording the transform — the
+    production-scale shape for a decode→transform→re-encode stage."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yi = None
+        for pdf in batches:
+            out_content, out_mime = [], []
+            for mime, content in zip(pdf["mime"], pdf["content"]):
+                dec = _IMAGE_DECODERS.get(mime or "")
+                if dec is None:
+                    raise NotImplementedError(f"no library-free decoder for {mime!r}")
+                px = dec(bytes(content))
+                h0, w0, _ = px.shape
+                yi = (np.arange(height) * h0) // height
+                xi = (np.arange(width) * w0) // width
+                out_content.append(_encode_ppm(px[yi][:, xi]))
+                out_mime.append("image/x-portable-pixmap")
+            out = pdf.copy()
+            out["content"] = out_content
+            out["mime"] = out_mime
+            return_meta = [{**(m or {}), "resize_w": str(width),
+                            "resize_h": str(height)} for m in pdf["meta"]]
+            out["meta"] = return_meta
+            yield out
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .mapInPandas(run, schema=MEDIA_SCHEMA)
+    )
+
+
+def extract_audio_features_real(media: DataFrame) -> DataFrame:
+    """REAL audio decode for PCM WAV via the stdlib `wave` module: sample
+    rate, sample count, channels, RMS of the 16-bit PCM signal."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(content))) as wf:
+                    sr = wf.getframerate()
+                    n = wf.getnframes()
+                    ch = wf.getnchannels()
+                    if wf.getsampwidth() != 2:
+                        raise NotImplementedError("only 16-bit PCM WAV supported")
+                    sig = np.frombuffer(wf.readframes(n), dtype="<i2").astype(np.float64)
+                rms = float(np.sqrt((sig ** 2).mean())) if len(sig) else 0.0
+                rows.append((mid, sr, n, ch, rms, n / sr if sr else 0.0,
+                             _sha(bytes(content))))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_samples", "channels",
+                "rms", "duration_sec", "sha"])
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "content")
+        .mapInPandas(run, schema=AUDIO_FEATURES_REAL_SCHEMA)
+    )
+
+
+FRAME_FEATURES_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, mean_lum double"
+)
+
+
+def sample_frames_real(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over a concatenated-PPM stream ('video' as a
+    sequence of P6 frames back to back — the library-free container).
+    Decodes every_n-th frame and emits real per-frame features; MP4/WebM
+    still require the ffmpeg seam (sample_frames fake=False)."""
+    import re
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                # walk frames sequentially — raster bytes may contain 'P6',
+                # so searching for magics would false-positive
+                pos, fi = 0, 0
+                while pos < len(b):
+                    hdr = re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s",
+                                   b[pos:])
+                    if not hdr:
+                        raise ValueError(f"bad PPM stream at offset {pos}")
+                    w, h = int(hdr.group(1)), int(hdr.group(2))
+                    frame_len = hdr.end() + w * h * 3
+                    if fi % every_n == 0:
+                        px = _decode_ppm(b[pos: pos + frame_len])
+                        lum = px.reshape(-1, 3).astype("float64") @ (0.2126, 0.7152, 0.0722)
+                        rows.append((mid, fi, w, h, float(lum.mean())))
+                    pos += frame_len
+                    fi += 1
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "width", "height", "mean_lum"])
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "content")
+        .mapInPandas(run, schema=FRAME_FEATURES_SCHEMA)
     )

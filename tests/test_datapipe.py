@@ -290,3 +290,98 @@ def test_exact_duplicates_dup_ids_cap(spark):
     r = out[0]
     assert r["n_dups"] == 50 and r["keep_id"] == 0
     assert r["dup_ids"] == list(range(10))  # capped at 10 smallest ids
+
+
+# --- r2: REAL multimodal decoders (library-free formats) -------------------
+
+
+def _ppm_bytes(w, h, rgb):
+    import numpy as np
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[:, :] = rgb
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _bmp_bytes(w, h, rgb):
+    """Minimal bottom-up 24-bit BI_RGB BMP."""
+    import struct
+    row = (bytes((rgb[2], rgb[1], rgb[0])) * w + b"\x00" * 3)[: (w * 3 + 3) & ~3]
+    raster = row * h
+    off = 54
+    header = (b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                            2835, 2835, 0, 0))
+    return header + raster
+
+
+def _wav_bytes(sr, samples):
+    import io
+    import struct
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    rows = [
+        (1, "image", bytearray(_ppm_bytes(8, 4, (10, 20, 30))),
+         "image/x-portable-pixmap", {}),
+        (2, "image", bytearray(_bmp_bytes(5, 3, (200, 100, 50))), "image/bmp", {}),
+        (3, "audio", bytearray(_wav_bytes(8000, [0, 1000, -1000, 1000])), "audio/wav", {}),
+        (4, "video", bytearray(_ppm_bytes(4, 2, (9, 9, 9)) * 5),
+         "video/x-ppm-stream", {}),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_decode_image_real_ppm_and_bmp(real_media):
+    got = {r["media_id"]: r for r in multimodal.decode_image_real(real_media).collect()}
+    p = got[1]
+    assert (p["width"], p["height"], p["channels"]) == (8, 4, 3)
+    assert (p["mean_r"], p["mean_g"], p["mean_b"]) == (10.0, 20.0, 30.0)
+    b = got[2]
+    assert (b["width"], b["height"]) == (5, 3)
+    assert (b["mean_r"], b["mean_g"], b["mean_b"]) == (200.0, 100.0, 50.0)
+
+
+def test_resize_images_real(real_media, spark):
+    out = multimodal.resize_images(real_media, 4, 2).collect()
+    assert len(out) == 2
+    resized = spark.createDataFrame(out, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in multimodal.decode_image_real(resized).collect()}
+    for mid, want in ((1, (10.0, 20.0, 30.0)), (2, (200.0, 100.0, 50.0))):
+        f = feats[mid]
+        assert (f["width"], f["height"]) == (4, 2)
+        assert (f["mean_r"], f["mean_g"], f["mean_b"]) == want  # solid color survives
+        assert {r["media_id"]: r["meta"] for r in out}[mid]["resize_w"] == "4"
+
+
+def test_extract_audio_features_real(real_media):
+    import math
+    got = multimodal.extract_audio_features_real(real_media).collect()
+    assert len(got) == 1
+    a = got[0]
+    assert (a["sample_rate"], a["n_samples"], a["channels"]) == (8000, 4, 1)
+    assert math.isclose(a["rms"], (3_000_000 / 4) ** 0.5)
+    assert math.isclose(a["duration_sec"], 4 / 8000)
+
+
+def test_sample_frames_real(real_media):
+    got = multimodal.sample_frames_real(real_media, every_n=2).collect()
+    idx = sorted(r["frame_idx"] for r in got)
+    assert idx == [0, 2, 4]  # 5 frames, every 2nd
+    assert all((r["width"], r["height"]) == (4, 2) for r in got)
+    assert all(abs(r["mean_lum"] - 9.0) < 1e-9 for r in got)
+
+
+def test_decode_image_real_unknown_mime_raises(spark):
+    rows = [(9, "image", bytearray(b"\x89PNG..."), "image/png", {})]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="decoder|Pillow|NotImplemented"):
+        multimodal.decode_image_real(df).collect()
