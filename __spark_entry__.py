@@ -714,6 +714,155 @@ def a9_running_accuracy(spark, sf):
     ).orderBy("event_id")
 
 
+# --- r2 batch 2: remaining scalar/join/profile operator surfaces ----------
+
+def f4_c5_uri_predicates(spark, sf):
+    """F4 + C5 — both URI regexes (kept verbatim from the reference) over a
+    mixed strict/loose/non-URI column; emits both predicate flags."""
+    p = _t(spark, sf, "part")
+    uri = (
+        F.when(F.col("p_partkey") % 4 == 0, F.expr(_PART_URI))
+        .when(F.col("p_partkey") % 4 == 1,
+              F.concat(F.lit("www."), F.lower(F.regexp_replace("p_brand", "#", "")), F.lit(".com")))
+        .when(F.col("p_partkey") % 4 == 2, F.col("p_name"))
+        .otherwise(F.concat(F.lit("ftp://files.ex.org/"), F.col("p_brand")))
+    )
+    return p.select(
+        F.col("p_partkey").cast("bigint").alias("k"),
+        uri.alias("uri"),
+        C.is_uri_strict(uri).alias("strict"),
+        C.is_uri_loose(uri).alias("loose"),
+    ).orderBy("k")
+
+
+def j2_left_merge(spark, sf):
+    """J2 — left equi-join on a composite key via operators.joins.left_merge."""
+    from kgsum_spark.operators.joins import left_merge
+
+    e = _t(spark, sf, "events")
+    a = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    b = (
+        e.filter(F.col("value") > 50)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_high"))
+    )
+    return left_merge(a, b, ["user_id", "event_type"]).select(
+        F.col("user_id").cast("bigint").alias("user_id"), "event_type",
+        "n", "n_high",
+    ).orderBy("user_id", "event_type")
+
+
+def c3_analyze_uri(spark, sf):
+    p = _t(spark, sf, "part")
+    parts = C.analyze_uri(F.expr(_PART_URI))
+    return p.select(
+        F.col("p_partkey").cast("bigint").alias("k"),
+        parts["namespace"].alias("ns"),
+        parts["local_name"].alias("local"),
+        parts["tld"].alias("tld"),
+    ).orderBy("k")
+
+
+def c7_c9_text_norm(spark, sf):
+    d = _t(spark, sf, "documents")
+    decorated = F.concat(F.lit("[Doc] ("), F.col("source"), F.lit(") 'Title:' "),
+                         F.col("text").substr(1, 40))
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        C.clean_text(decorated).alias("cleaned"),
+        C.normalize_label(decorated).alias("norm_label"),
+    ).orderBy("doc_id")
+
+
+def c11_c12_arrays(spark, sf):
+    e = _t(spark, sf, "events")
+    nested = F.array(
+        F.array(F.col("event_type"), F.lit("")),
+        F.array(F.lit("u"), F.col("user_id").cast("string")),
+    )
+    flat = C.flatten_stringify(nested)
+    return e.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        flat.alias("flat"),
+        C.space_join(flat).alias("joined"),
+    ).orderBy("event_id")
+
+
+def c14_entity_mint(spark, sf):
+    e = _t(spark, sf, "events")
+    norm = F.trim(F.regexp_replace(F.lower("event_type"), "[^a-z0-9]+", " "))
+    return (
+        e.select(C.mint_entity_iri("ent:", norm).alias("iri"))
+        .distinct().orderBy("iri")
+    )
+
+
+def q13_existence_fallback(spark, sf):
+    """Q13 — probe-then-fallback; primary (lang='de') is non-empty at every
+    SF, so the probe passes and primary is returned. The empty-primary
+    branch is unit-tested (tests/test_profile.py)."""
+    from kgsum_spark.profile import existence_fallback
+
+    d = _t(spark, sf, "documents")
+    primary = d.filter(F.col("lang") == "de")
+    fallback = d.filter(F.col("lang") == "en")
+    out = existence_fallback(primary, fallback)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
+def q14_lov_broadcast(spark, sf):
+    """Q14/Q15 — point-lookup enrichment as ONE broadcast join (the
+    reference loops HTTP calls per URI)."""
+    from kgsum_spark.profile import enrich_with_lookup
+
+    d = _t(spark, sf, "documents")
+    lookup = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("src_docs"))
+    )
+    return enrich_with_lookup(d.select("doc_id", "source"), lookup, "source").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "src_docs"
+    ).orderBy("doc_id")
+
+
+def q16_liveness(spark, sf):
+    """Q16 — existence probes (limit(1) short-circuit scan), one row per
+    probe. The probe itself is a driver-side boolean by nature."""
+    from kgsum_spark.profile import has_any
+
+    e = _t(spark, sf, "events")
+    alive = has_any(e)
+    dead = has_any(e.filter(F.col("value") < 0))
+    return spark.createDataFrame(
+        [("events", alive), ("events_neg_value", dead)], "probe string, alive boolean"
+    ).orderBy("probe")
+
+
+def s7_nt_lines(spark, sf):
+    """S7 — N-Triples textual sink over the profile triples fixture."""
+    from kgsum_spark.sources import nt_lines_from_triples
+
+    t = _profile_triples(spark, sf).withColumnRenamed("subj", "s") \
+        .withColumnRenamed("pred", "p").withColumnRenamed("obj", "o") \
+        .withColumnRenamed("obj_is_iri", "o_is_iri")
+    return nt_lines_from_triples(t).distinct().orderBy("value")
+
+
+def c6_hybrid_tokenizer(spark, sf):
+    from kgsum_spark.nlp import hybrid_tokenize
+
+    d = _t(spark, sf, "documents")
+    text = F.concat(F.col("text").substr(1, 60),
+                    F.lit(" see http://ex.org/doc/"), F.col("doc_id").cast("string"))
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        hybrid_tokenize(text).alias("toks"),
+    ).orderBy("doc_id")
+
+
 # --- full-pipeline + verified near-dup entries (all oracled as of r2) -----
 
 def _events_as_transcripts_linked(events: DataFrame) -> DataFrame:
@@ -887,6 +1036,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_title_skip": f8_title_skip,
         "a7_stratified_split": a7_stratified_split,
         "a9_running_accuracy": a9_running_accuracy,
+        "f4_c5_uri_predicates": f4_c5_uri_predicates,
+        "j2_left_merge": j2_left_merge,
+        "c3_analyze_uri": c3_analyze_uri,
+        "c7_c9_text_norm": c7_c9_text_norm,
+        "c11_c12_arrays": c11_c12_arrays,
+        "c14_entity_mint": c14_entity_mint,
+        "q13_existence_fallback": q13_existence_fallback,
+        "q14_lov_broadcast": q14_lov_broadcast,
+        "q16_liveness": q16_liveness,
+        "s7_nt_lines": s7_nt_lines,
+        "c6_hybrid_tokenizer": c6_hybrid_tokenizer,
         # full-pipeline + verified near-dup surfaces (all oracled as of r2)
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_flagship_histogram": kg_flagship_histogram,
@@ -1012,7 +1172,120 @@ def oracle_sql() -> dict[str, str]:
         FROM raw r LEFT JOIN cmap m ON {norm_of.format(c='r.subj')} = m.norm
         ORDER BY subj, pred, obj
     """
+    strict_re = r"^https?://[^\s<>\"']+$".replace("'", "''")
+    loose_re = (r"^(?:(?:https?|ftp|file)://|www\.)[^\s<>\"']+$"
+                r"|^[a-zA-Z0-9.-]+\.[a-z]{2,}(?:/[^\s]*)?$").replace("'", "''")
+    f4_uri_sql = f"""
+        CASE WHEN p_partkey % 4 = 0 THEN {_PART_URI_SQL}
+             WHEN p_partkey % 4 = 1
+                 THEN 'www.' || lower(replace(p_brand, '#', '')) || '.com'
+             WHEN p_partkey % 4 = 2 THEN p_name
+             ELSE 'ftp://files.ex.org/' || p_brand END
+    """
     return {
+        "f4_c5_uri_predicates": f"""
+            SELECT CAST(p_partkey AS BIGINT) AS k, uri,
+                   regexp_matches(uri, '{strict_re}') AS strict,
+                   regexp_matches(uri, '{loose_re}') AS loose
+            FROM (SELECT p_partkey, {f4_uri_sql} AS uri FROM part)
+            ORDER BY k
+        """,
+        "j2_left_merge": """
+            WITH a AS (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ), b AS (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_high
+                FROM events WHERE value > 50 GROUP BY 1, 2
+            )
+            SELECT CAST(a.user_id AS BIGINT) AS user_id, a.event_type, a.n, b.n_high
+            FROM a LEFT JOIN b USING (user_id, event_type)
+            ORDER BY user_id, event_type
+        """,
+        "c3_analyze_uri": f"""
+            SELECT CAST(p_partkey AS BIGINT) AS k,
+                   split_part(uri, '#', 1) AS ns,
+                   regexp_extract(regexp_extract(uri, '([^#]*)$', 1),
+                                  '([^/]*)$', 1) AS local,
+                   regexp_extract(split_part(uri, '/', 3), '([^.]*)$', 1) AS tld
+            FROM (SELECT p_partkey, {_PART_URI_SQL} AS uri FROM part)
+            ORDER BY k
+        """,
+        "c7_c9_text_norm": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   trim(regexp_replace(regexp_replace(decorated,
+                        '[\\[\\]\\(\\)\\{\\}]', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned,
+                   trim(regexp_replace(lower(decorated),
+                        '["''`.,;:!?]+', '', 'g')) AS norm_label
+            FROM (SELECT doc_id,
+                         '[Doc] (' || source || ') ''Title:'' '
+                         || substr(text, 1, 40) AS decorated
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "c11_c12_arrays": """
+            SELECT CAST(event_id AS BIGINT) AS event_id, flat,
+                   array_to_string(flat, ' ') AS joined
+            FROM (SELECT event_id,
+                         list_filter(flatten([[event_type, ''],
+                                              ['u', CAST(user_id AS VARCHAR)]]),
+                                     x -> x <> '') AS flat
+                  FROM events)
+            ORDER BY event_id
+        """,
+        "c14_entity_mint": """
+            SELECT DISTINCT
+                   'ent:' || sha256(trim(regexp_replace(lower(event_type),
+                                         '[^a-z0-9]+', ' ', 'g'))) AS iri
+            FROM events ORDER BY iri
+        """,
+        "q13_existence_fallback": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+            WHERE lang = 'de' ORDER BY doc_id
+        """,
+        "q14_lov_broadcast": """
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, l.src_docs
+            FROM documents d
+            JOIN (SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+                  FROM documents GROUP BY 1) l USING (source)
+            ORDER BY doc_id
+        """,
+        "q16_liveness": """
+            SELECT 'events' AS probe, EXISTS(SELECT 1 FROM events) AS alive
+            UNION ALL
+            SELECT 'events_neg_value',
+                   EXISTS(SELECT 1 FROM events WHERE value < 0)
+            ORDER BY probe
+        """,
+        "s7_nt_lines": f"""
+            SELECT DISTINCT
+                   '<' || subj || '> <' || pred || '> ' ||
+                   CASE WHEN obj_is_iri THEN '<' || obj || '>'
+                        ELSE '"' ||
+                             replace(replace(replace(replace(replace(obj,
+                                 chr(92), chr(92) || chr(92)),
+                                 '"', chr(92) || '"'),
+                                 chr(10), chr(92) || 'n'),
+                                 chr(13), chr(92) || 'r'),
+                                 chr(9), chr(92) || 't') || '"' END
+                   || ' .' AS value
+            FROM ({_PROFILE_TRIPLES_SQL})
+            ORDER BY value
+        """,
+        "c6_hybrid_tokenizer": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   flatten(list_transform(
+                       string_split_regex(trim(text2), '\\s+'),
+                       t -> CASE WHEN regexp_matches(t, '{loose_re}')
+                                 THEN [t]
+                                 ELSE regexp_extract_all(lower(t), '[a-z0-9_]{{2,}}')
+                            END)) AS toks
+            FROM (SELECT doc_id,
+                         substr(text, 1, 60) || ' see http://ex.org/doc/'
+                         || CAST(doc_id AS VARCHAR) AS text2
+                  FROM documents)
+            ORDER BY doc_id
+        """,
         "q6_endpoints": f"""
             SELECT DISTINCT obj AS sparql FROM ({_PROFILE_TRIPLES_SQL})
             WHERE pred = 'void:sparqlEndpoint' ORDER BY sparql LIMIT 2
