@@ -301,3 +301,87 @@ def train_best_classifier(df: DataFrame, text_col: str, label_col: str,
     i2s = IndexToString(inputCol="prediction", outputCol="prediction_label",
                         labels=model.stages[3].labelsArray[0])
     return PipelineModel(stages=list(model.stages) + [i2s]), info
+
+
+# --- N1/N2: library-backed paths, import-gated (r2) ------------------------
+#
+# The reference runs langdetect (seed 42) and spaCy per row
+# (/root/reference/src/preprocessing.py:16,89-134). Neither library ships
+# in this container, so these are the SURVEY-prescribed pandas-UDF shapes
+# with a worker-cached model singleton, gated on import: where the library
+# exists they run it Arrow-batched; here they raise NotImplementedError at
+# the exact seam, and the deterministic analogs (datapipe.textstats
+# stopword scorer; normalize_tokens suffix stemmer) remain the defaults.
+
+_WORKER_MODELS: dict = {}  # per-executor singleton cache (loaded once)
+
+
+def detect_language_langdetect(df: DataFrame, text_col: str = "text",
+                               out_col: str = "lang_pred",
+                               max_chars: int = 1000) -> DataFrame:
+    """N1 — langdetect inside mapInPandas, seed pinned to 42 like the
+    reference, input clipped to the first max_chars chars (reference
+    behavior at preprocessing.py:325). Raises if langdetect is absent."""
+    try:
+        import langdetect  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "langdetect not installed; use datapipe.textstats.detect_language "
+            "(deterministic stopword scorer) in this environment"
+        ) from e
+
+    schema = ", ".join([f"`{c}` {t}" for c, t in df.dtypes] + [f"{out_col} string"])
+
+    def run(batches):
+        from langdetect import DetectorFactory, detect
+
+        DetectorFactory.seed = 42  # reference pins this for determinism
+        for pdf in batches:
+            def one(s):
+                try:
+                    return detect((s or "")[:max_chars])
+                except Exception:  # noqa: BLE001 — undetectable → 'xx' like the reference
+                    return "xx"
+
+            out = pdf.copy()
+            out[out_col] = pdf[text_col].map(one)
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def lemmatize_spacy(df: DataFrame, text_col: str = "text",
+                    out_col: str = "lemmas", lang: str = "en") -> DataFrame:
+    """N2 — spaCy lemmatize + stop/punct strip inside mapInPandas with the
+    model loaded ONCE per executor (module-level singleton — loading per
+    batch would dominate the stage). Raises if spaCy is absent."""
+    try:
+        import spacy  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "spaCy not installed; use nlp.normalize_tokens (deterministic "
+            "suffix-stemmer analog) in this environment"
+        ) from e
+
+    schema = ", ".join([f"`{c}` {t}" for c, t in df.dtypes]
+                       + [f"{out_col} array<string>"])
+    model_name = {"en": "en_core_web_sm"}.get(lang, f"{lang}_core_news_sm")
+
+    def run(batches):
+        import spacy
+
+        nlp_model = _WORKER_MODELS.get(model_name)
+        if nlp_model is None:
+            nlp_model = spacy.load(model_name, disable=["parser", "ner"])
+            _WORKER_MODELS[model_name] = nlp_model
+        for pdf in batches:
+            lemmas = [
+                [t.lemma_.lower() for t in doc
+                 if not (t.is_stop or t.is_punct or t.is_space)]
+                for doc in nlp_model.pipe(pdf[text_col].fillna("").tolist())
+            ]
+            out = pdf.copy()
+            out[out_col] = lemmas
+            yield out
+
+    return df.mapInPandas(run, schema)

@@ -142,3 +142,23 @@ def test_hyper_search_svm_runs(labeled_docs):
     m, info = hyper_search_classifier(labeled_docs, "text", "label", "svm", n_iter=2)
     assert info["n_candidates"] == 2
     assert info["best_f1_weighted"] > 0.9
+
+
+def test_langdetect_and_spacy_gates_raise(spark):
+    """N1/N2 library paths: the seams exist and gate cleanly when the
+    libraries are absent (this container ships neither)."""
+    from kgsum_spark.nlp import detect_language_langdetect, lemmatize_spacy
+
+    df = spark.createDataFrame([("hello world",)], ["text"])
+    try:
+        import langdetect  # noqa: F401
+        out = detect_language_langdetect(df).collect()
+        assert out[0]["lang_pred"] == "en"
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            detect_language_langdetect(df)
+    try:
+        import spacy  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            lemmatize_spacy(df)
