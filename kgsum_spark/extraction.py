@@ -94,11 +94,17 @@ def mentions_from_raw(raw: DataFrame) -> DataFrame:
     /root/reference/src/pipeline_gemma.py:16-22); block_key = first token
     (token-blocking for the linking join). All JVM-side built-ins.
     """
-    subj = raw.select(F.col("subj").alias("mention"), "conv_id", "turn_idx")
-    obj = raw.filter(F.col("obj_is_mention")).select(
-        F.col("obj").alias("mention"), "conv_id", "turn_idx"
+    # ONE scan: subj always a mention, obj conditionally — emitted together
+    # via explode of a 2-slot array (null slot filtered) instead of a
+    # 2-leg union that reads the raw-triples source twice.
+    slots = F.array(
+        F.col("subj"),
+        F.when(F.col("obj_is_mention"), F.col("obj")),
     )
-    m = subj.unionByName(obj)
+    m = (
+        raw.select(F.explode(slots).alias("mention"), "conv_id", "turn_idx")
+        .filter(F.col("mention").isNotNull())
+    )
     norm = F.trim(F.regexp_replace(F.lower(F.col("mention")), "[^a-z0-9]+", " "))
     return (
         m.withColumn("norm", norm)
