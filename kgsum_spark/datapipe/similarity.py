@@ -192,3 +192,57 @@ def ann_pairs_verified(
         .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+# --- r2: IVF (inverted-file) ANN — the k-means-partitioned scale path ------
+
+
+def ivf_build(
+    df: DataFrame, dim: int, n_cells: int = 16, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+):
+    """Train a coarse quantizer (Spark ML KMeans, seeded) and assign every
+    vector to its nearest cell. Returns (centers, assigned) where centers
+    is a plain list[list[float]] (broadcastable, tiny) and assigned is the
+    corpus with a `cell` column — at scale, write `assigned` partitioned
+    by cell so a search touches only nprobe/n_cells of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(_to_double(F.col(vec_col))).alias("_features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_features",
+                predictionCol="cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).select("id", "vec", "cell")
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return centers, assigned
+
+
+def ivf_search(
+    assigned: DataFrame, centers: list[list[float]], query: list[float],
+    k: int = 10, nprobe: int = 4,
+) -> DataFrame:
+    """Top-k by cosine against one query, scanning only the nprobe cells
+    whose centers are nearest the query (cell ranking is driver-side math
+    over the tiny center list). The cell filter prunes the scan — with a
+    cell-partitioned layout it is file-level partition pruning."""
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den if den else 0.0
+
+    ranked = sorted(range(len(centers)), key=lambda i: -cos(centers[i], query))
+    probe = ranked[:nprobe]
+    q = F.lit([float(x) for x in query]).cast("array<double>")
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select("id", cosine(_to_double(F.col("vec")), q).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id").asc())
+        .limit(k)
+    )

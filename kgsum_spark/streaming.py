@@ -127,3 +127,17 @@ def turns_per_window(stream: DataFrame, window: str = "5 minutes",
             F.sum(F.when(anchored, 1).otherwise(0)).alias("n_triple_turns"),
         )
     )
+
+
+def dedup_stream(stream: DataFrame, key_cols: list[str],
+                 ts_col: str = "ts", watermark: str = "10 minutes") -> DataFrame:
+    """Streaming deduplication with bounded state:
+    `dropDuplicatesWithinWatermark` keeps each key's state only until the
+    watermark passes it, so state size is O(keys per watermark window) —
+    the streaming twin of the batch exact-dedup operator. Late duplicates
+    beyond the watermark are NOT deduped (the documented tradeoff of
+    bounded state; widen the watermark to widen the guarantee)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )

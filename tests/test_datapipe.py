@@ -385,3 +385,68 @@ def test_decode_image_real_unknown_mime_raises(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="decoder|Pillow|NotImplemented"):
         multimodal.decode_image_real(df).collect()
+
+
+# --- r2: IVF ANN -----------------------------------------------------------
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """On near-random testdata embeddings recall grows monotonically with
+    nprobe and full probe equals brute force exactly (IVF's pruning is
+    only an approximation when the data has no cluster structure — see
+    the clustered test below for the regime IVF is built for)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qrow = e.filter(F.col("vec_id") == 0).first()
+    q = [float(x) for x in qrow["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    truth = [r["id"] for r in similarity.cosine_topk(corpus, q, k=10).collect()]
+
+    centers, assigned = similarity.ivf_build(corpus, dim=64, n_cells=16)
+    assigned = assigned.cache()
+    recalls = []
+    for nprobe in (2, 8, 16):
+        got = [r["id"] for r in
+               similarity.ivf_search(assigned, centers, q, k=10,
+                                     nprobe=nprobe).collect()]
+        recalls.append(len(set(got) & set(truth)) / len(truth))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0  # full probe == brute force
+    got_all = [r["id"] for r in
+               similarity.ivf_search(assigned, centers, q, k=10,
+                                     nprobe=16).collect()]
+    assert got_all == truth
+
+
+def test_ivf_clustered_high_recall_few_probes(spark):
+    """The regime IVF is designed for: clustered vectors. With 8 real
+    clusters and nprobe=2 of 8 cells, top-10 recall must be ~1 while
+    scanning a quarter of the corpus."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    centers_np = rng.normal(scale=10.0, size=(8, 16))
+    rows = []
+    vid = 0
+    for ci in range(8):
+        for _ in range(50):
+            v = centers_np[ci] + rng.normal(scale=0.5, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in centers_np[0] + rng.normal(scale=0.5, size=16)]
+    truth = [r["id"] for r in similarity.cosine_topk(df, q, k=10).collect()]
+    centers, assigned = similarity.ivf_build(df, dim=16, n_cells=8)
+    got = [r["id"] for r in
+           similarity.ivf_search(assigned.cache(), centers, q, k=10,
+                                 nprobe=2).collect()]
+    assert len(set(got) & set(truth)) / len(truth) >= 0.9
+
+
+def test_ivf_deterministic(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1, a1 = similarity.ivf_build(e, dim=64, n_cells=8, seed=7)
+    c2, a2 = similarity.ivf_build(e, dim=64, n_cells=8, seed=7)
+    assert c1 == c2
+    m1 = {r["id"]: r["cell"] for r in a1.collect()}
+    m2 = {r["id"]: r["cell"] for r in a2.collect()}
+    assert m1 == m2

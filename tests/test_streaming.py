@@ -121,3 +121,35 @@ def test_stateful_conversation_progress_across_restarts(spark, stream_src, tmp_p
     for cid, n in extra.transcripts.groupby("conv_id").size().to_dict().items():
         truth2[cid] = truth2.get(cid, 0) + n
     assert final2 == truth2
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming dedup: duplicate (conv_id, turn_idx) rows within the
+    watermark collapse to one."""
+    import datetime as dt
+
+    from kgsum_spark import schemas
+    from kgsum_spark.streaming import dedup_stream
+
+    src = tmp_path / "dd_src"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "A is a b.", None, t0),
+        ("c1", 0, "user", "A is a b.", None, t0),                 # dup
+        ("c1", 1, "user", "B is a c.", None, t0 + dt.timedelta(seconds=30)),
+        ("c2", 0, "user", "C is a d.", None, t0 + dt.timedelta(seconds=60)),
+        ("c2", 0, "user", "C is a d.", None, t0 + dt.timedelta(seconds=61)),  # dup, later ts
+    ]
+    spark.createDataFrame(rows, schemas.TRANSCRIPTS).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(schemas.TRANSCRIPTS).parquet(str(src))
+    out = str(tmp_path / "dd_out")
+    q = (dedup_stream(stream, ["conv_id", "turn_idx"]).writeStream
+         .outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).select("conv_id", "turn_idx").collect()
+    keys = sorted((r["conv_id"], r["turn_idx"]) for r in got)
+    assert keys == [("c1", 0), ("c1", 1), ("c2", 0)]
