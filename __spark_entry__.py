@@ -863,6 +863,23 @@ def c6_hybrid_tokenizer(spark, sf):
     ).orderBy("doc_id")
 
 
+def ann_ivf_topk(spark, sf):
+    """IVF ANN (KMeans coarse quantizer + nprobe-cell scan) at FULL probe,
+    where the result provably equals brute force — the SQL oracle is the
+    brute-force cosine top-k. Partial-probe recall is covered by tests."""
+    e = _t(spark, sf, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in qrow["embedding"]]
+    n_cells = 16
+    centers, assigned = sim.ivf_build(e.filter(F.col("vec_id") != 0),
+                                      dim=len(q), n_cells=n_cells)
+    out = sim.ivf_search(assigned, centers, q, k=10, nprobe=n_cells)
+    return out.select(
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("sim").cast("double").alias("sim"),
+    )
+
+
 # --- full-pipeline + verified near-dup entries (all oracled as of r2) -----
 
 def _events_as_transcripts_linked(events: DataFrame) -> DataFrame:
@@ -1047,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_liveness": q16_liveness,
         "s7_nt_lines": s7_nt_lines,
         "c6_hybrid_tokenizer": c6_hybrid_tokenizer,
+        "ann_ivf_topk": ann_ivf_topk,
         # full-pipeline + verified near-dup surfaces (all oracled as of r2)
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_flagship_histogram": kg_flagship_histogram,
@@ -1701,6 +1719,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p_partkey % 3 = 0 THEN p_name
                         ELSE {_PART_URI_SQL} END AS picked
             FROM part ORDER BY k
+        """,
+        "ann_ivf_topk": """
+            WITH q AS (
+                SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                       list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+                       / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                                list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                          * sqrt(list_dot_product(qv, qv))) AS sim
+                FROM embeddings, q WHERE vec_id <> 0
+            )
+            SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "ann_cosine_topk": """
             WITH q AS (
