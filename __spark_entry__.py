@@ -863,6 +863,18 @@ def c6_hybrid_tokenizer(spark, sf):
     ).orderBy("doc_id")
 
 
+def dedup_ngram_prefix(spark, sf):
+    """Prefix-filtering EXACT similarity join (AllPairs/PPJoin family) —
+    identical output to brute force, verified by the same oracle shape."""
+    d = _t(spark, sf, "documents")
+    out = dd.ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.6)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    ).orderBy("a", "b")
+
+
 def ann_ivf_topk(spark, sf):
     """IVF ANN (KMeans coarse quantizer + nprobe-cell scan) at FULL probe,
     where the result provably equals brute force — the SQL oracle is the
@@ -1065,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_nt_lines": s7_nt_lines,
         "c6_hybrid_tokenizer": c6_hybrid_tokenizer,
         "ann_ivf_topk": ann_ivf_topk,
+        "dedup_ngram_prefix": dedup_ngram_prefix,
         # full-pipeline + verified near-dup surfaces (all oracled as of r2)
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_flagship_histogram": kg_flagship_histogram,
@@ -1200,7 +1213,31 @@ def oracle_sql() -> dict[str, str]:
              WHEN p_partkey % 4 = 2 THEN p_name
              ELSE 'ftp://files.ex.org/' || p_brand END
     """
+    jaccard06_sql = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({norm_text}, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        ), common AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               common / (sa.sz + sb.sz - common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE common / (sa.sz + sb.sz - common) >= 0.6
+        ORDER BY a, b
+    """
     return {
+        "dedup_ngram_prefix": jaccard06_sql,
         "f4_c5_uri_predicates": f"""
             SELECT CAST(p_partkey AS BIGINT) AS k, uri,
                    regexp_matches(uri, '{strict_re}') AS strict,

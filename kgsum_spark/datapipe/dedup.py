@@ -424,3 +424,55 @@ def simhash_hamming_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT near-duplicate pairs (a, b, jaccard ≥ threshold) via prefix
+    filtering — the AllPairs/PPJoin family (public algorithm, Bayardo et
+    al. / Xiao et al.): same output as the brute-force inverted index,
+    asymptotically less work.
+
+    Order all shingles globally by (document frequency asc, shingle); a
+    doc with m shingles only indexes its first p = m - ceil(t·m) + 1 in
+    that order. If J(A,B) ≥ t, the smallest-ranked common shingle provably
+    lies in BOTH prefixes, so joining prefix-only inverted indexes loses
+    nothing — and the prefix holds the RAREST shingles, so buckets are
+    tiny where the full index had its hot keys. Candidates are then
+    exact-verified. At t=0.8 the index is ~5× smaller and skew-free; the
+    win grows with corpus size (hot shingles never enter the index).
+    """
+    if not (0 < threshold <= 1):
+        raise ValueError("threshold must be in (0, 1]")
+    sh = _shingles(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    ranked = sh.join(dfreq, "shingle")
+    # per-doc canonical order: (df asc, shingle fields) — deterministic
+    order_cols = [F.col("df_").asc()] + [
+        F.col(f"shingle.g{j}").asc() for j in range(n)
+    ]
+    w = Window.partitionBy("id").orderBy(*order_cols)
+    m = Window.partitionBy("id")
+    pref = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_m", F.count(F.lit(1)).over(m))
+        # round(·, 9) before ceil: 0.8*10 floats to 8.000000000000002,
+        # which ceil would turn into 9 and silently shrink the prefix
+        .withColumn("_p", F.col("_m")
+                    - F.ceil(F.round(F.lit(threshold) * F.col("_m"), 9)) + 1)
+        .filter(F.col("_rn") <= F.col("_p"))
+        .select("id", "shingle")
+    )
+    cand = (
+        pref.select(F.col("id").alias("a"), "shingle")
+        .join(pref.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        exact_ngram_jaccard_on_pairs(cand, df, id_col, text_col, n)
+        .filter(F.col("jaccard") >= threshold)
+    )

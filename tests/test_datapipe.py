@@ -450,3 +450,29 @@ def test_ivf_deterministic(spark):
     m1 = {r["id"]: r["cell"] for r in a1.collect()}
     m2 = {r["id"]: r["cell"] for r in a2.collect()}
     assert m1 == m2
+
+
+# --- r2: prefix-filtering exact similarity join -----------------------------
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_prefix_join_equals_bruteforce(spark, threshold):
+    """Prefix filtering must lose NOTHING: identical output to the full
+    inverted-index join at every threshold, on real testdata."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    truth = {(r["a"], r["b"], round(r["jaccard"], 12)) for r in
+             dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3,
+                                       threshold=threshold,
+                                       max_shingle_df=None).collect()}
+    got = {(r["a"], r["b"], round(r["jaccard"], 12)) for r in
+           dedup.ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3,
+                                            threshold=threshold).collect()}
+    assert got == truth and len(truth) > 0
+
+
+def test_prefix_join_small_fixture(spark, docs):
+    got = {(r["a"], r["b"]) for r in
+           dedup.ngram_jaccard_pairs_prefix(docs, "doc_id", "text", n=3,
+                                            threshold=0.5).collect()}
+    assert (0, 1) in got and (0, 5) in got and (1, 5) in got and (0, 2) in got
+    assert all(not (a in (3, 4) or b in (3, 4)) for a, b in got)
