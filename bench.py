@@ -42,6 +42,7 @@ OPERATOR_QUERIES = [
     "sessionize",
     "j1_outer_merge",
     "dedup_ngram_pairs",
+    "dedup_ngram_prefix",
     "minhash_neardup_docs",
     "simhash_neardup_docs",
     "ann_cosine_topk",
@@ -104,12 +105,14 @@ def main() -> None:
     timings["kg_full_pipeline"] = round(time.time() - t0, 3)
 
     qs = entry_mod.queries()
-    # Warm each operator plan once at sf0.001 (sub-second data): the
-    # generated whole-stage code is cached by source, so the timed sf run
-    # measures steady-state execution, not first-call codegen compilation
-    # (the 64-aggregate MinHash plan alone costs ~6-10s to compile).
-    for name in OPERATOR_QUERIES:
-        qs[name](spark, "/root/testdata/sf0.001").count()
+    # Warm each operator plan at sf0.001 then sf0.01: the first pass
+    # compiles the whole-stage codegen (the 64-aggregate MinHash plan alone
+    # costs ~6-10s to compile), the second gives the JIT enough iterations
+    # to reach steady state — so the timed sf run measures execution, not
+    # compilation.
+    for warm_sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name in OPERATOR_QUERIES:
+            qs[name](spark, warm_sf).count()
     for name in OPERATOR_QUERIES:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
