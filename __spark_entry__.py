@@ -875,6 +875,28 @@ def dedup_ngram_prefix(spark, sf):
     ).orderBy("a", "b")
 
 
+def j8_asof_join(spark, sf):
+    """As-of join: every event gets the most recent purchase value of its
+    user at-or-before its timestamp. Spark composition (union + forward-
+    fill window) vs DuckDB's NATIVE ASOF JOIN — cross-engine proof that
+    the composition implements true point-in-time semantics."""
+    from kgsum_spark.operators.joins import asof_join
+
+    e = _t(spark, sf, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    out = asof_join(e.select("event_id", "user_id", "ts"), purchases,
+                    on="user_id", ts_col="ts",
+                    right_cols=["last_purchase_value"])
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("last_purchase_value").cast("double").alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
 def ann_ivf_topk(spark, sf):
     """IVF ANN (KMeans coarse quantizer + nprobe-cell scan) at FULL probe,
     where the result provably equals brute force — the SQL oracle is the
@@ -1078,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c6_hybrid_tokenizer": c6_hybrid_tokenizer,
         "ann_ivf_topk": ann_ivf_topk,
         "dedup_ngram_prefix": dedup_ngram_prefix,
+        "j8_asof_join": j8_asof_join,
         # full-pipeline + verified near-dup surfaces (all oracled as of r2)
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_flagship_histogram": kg_flagship_histogram,
@@ -1237,6 +1260,18 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY a, b
     """
     return {
+        "j8_asof_join": """
+            WITH purchases AS (
+                SELECT user_id, ts, max(value) AS last_purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT CAST(e.event_id AS BIGINT) AS event_id,
+                   CAST(p.last_purchase_value AS DOUBLE) AS last_purchase_value
+            FROM events e
+            ASOF LEFT JOIN purchases p
+                 ON e.user_id = p.user_id AND e.ts >= p.ts
+            ORDER BY event_id
+        """,
         "dedup_ngram_prefix": jaccard06_sql,
         "f4_c5_uri_predicates": f"""
             SELECT CAST(p_partkey AS BIGINT) AS k, uri,

@@ -74,3 +74,29 @@ def dependent_semi_join(fact: DataFrame, dim_keys: DataFrame, on: str) -> DataFr
     subjects, then query per subject, /root/reference/src/dataset_preparation.py:281-317)
     becomes ONE broadcast semi-join."""
     return fact.join(F.broadcast(dim_keys), on, "left_semi")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
+              right_cols: list[str]) -> DataFrame:
+    """As-of (point-in-time) join: for every left row, attach `right_cols`
+    from the LATEST right row with right.ts <= left.ts within the same
+    `on` key. Spark has no native ASOF; this is the standard union +
+    forward-fill-window composition — ONE shuffle (the per-key window),
+    no range cross-product. Oracle: DuckDB's native ASOF JOIN.
+
+    Right rows must be unique per (on, ts_col) — pre-aggregate if not.
+    Caveat: legitimately-NULL right values are forward-filled through
+    (ignorenulls semantics); wrap values in a struct upstream if NULL is
+    a payload you need to preserve."""
+    r = right.select(on, ts_col, *right_cols).withColumn("_side", F.lit(0))
+    l = left.withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before co-timestamped left rows → '<=' semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in right_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_side")

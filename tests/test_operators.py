@@ -240,3 +240,20 @@ def test_lang_fallback_branches(spark):
     df2 = spark.createDataFrame([(1, "en"), (3, "de")], "id long, o_lang string")
     kept2 = lang_filter_with_fallback(df2, min_rows=2)
     assert {r["id"] for r in kept2.collect()} == {1, 3}
+
+
+def test_asof_join_semantics(spark):
+    from kgsum_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 20), (3, "u", 25), (4, "v", 5)],
+        "id long, k string, ts long")
+    right = spark.createDataFrame(
+        [("u", 10, 100.0), ("u", 21, 210.0), ("v", 9, 900.0)],
+        "k string, ts long, px double")
+    got = {r["id"]: r["px"] for r in
+           asof_join(left, right, on="k", ts_col="ts", right_cols=["px"]).collect()}
+    assert got[1] == 100.0   # tie: right row AT ts counts (<= semantics)
+    assert got[2] == 100.0   # 21 > 20 → not visible yet
+    assert got[3] == 210.0   # 21 <= 25 → the newer right row wins
+    assert got[4] is None    # v's only right row is at ts 9 > 5
