@@ -897,6 +897,31 @@ def j8_asof_join(spark, sf):
     ).orderBy("event_id")
 
 
+def j9_range_join(spark, sf):
+    """Range join: every event within one hour AFTER a signup of the same
+    user, via bin-bucketing (equi-join on hour bins + exact filter) — no
+    broadcast nested loop. Oracle: plain inequality join in DuckDB."""
+    from kgsum_spark.operators.joins import range_join
+
+    e = _t(spark, sf, "events")
+    # TIMESTAMP_NTZ can't cast straight to BIGINT under ANSI; session TZ is
+    # UTC so cast("timestamp") → long == DuckDB epoch(ts)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    pts = e.select(F.col("event_id").alias("event_id"), "user_id",
+                   epoch.alias("t"))
+    iv = (
+        e.filter(F.col("event_type") == "signup")
+        .select(F.col("event_id").alias("signup_id"), "user_id",
+                epoch.alias("start_t"), (epoch + 3600).alias("end_t"))
+    )
+    out = range_join(pts, iv, point_col="t", start_col="start_t",
+                     end_col="end_t", granularity=3600, on=["user_id"])
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("signup_id").cast("bigint").alias("signup_id"),
+    ).orderBy("event_id", "signup_id")
+
+
 def ann_ivf_topk(spark, sf):
     """IVF ANN (KMeans coarse quantizer + nprobe-cell scan) at FULL probe,
     where the result provably equals brute force — the SQL oracle is the
@@ -1101,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "dedup_ngram_prefix": dedup_ngram_prefix,
         "j8_asof_join": j8_asof_join,
+        "j9_range_join": j9_range_join,
         # full-pipeline + verified near-dup surfaces (all oracled as of r2)
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_flagship_histogram": kg_flagship_histogram,
@@ -1271,6 +1297,23 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN purchases p
                  ON e.user_id = p.user_id AND e.ts >= p.ts
             ORDER BY event_id
+        """,
+        "j9_range_join": """
+            WITH su AS (
+                SELECT event_id AS signup_id, user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS start_t
+                FROM events WHERE event_type = 'signup'
+            ), pts AS (
+                SELECT event_id, user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t
+                FROM events
+            )
+            SELECT CAST(p.event_id AS BIGINT) AS event_id,
+                   CAST(su.signup_id AS BIGINT) AS signup_id
+            FROM pts p JOIN su
+              ON p.user_id = su.user_id
+             AND p.t >= su.start_t AND p.t <= su.start_t + 3600
+            ORDER BY event_id, signup_id
         """,
         "dedup_ngram_prefix": jaccard06_sql,
         "f4_c5_uri_predicates": f"""

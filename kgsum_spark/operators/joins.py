@@ -100,3 +100,33 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     for c in right_cols:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return u.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
+               start_col: str, end_col: str, granularity: float,
+               on: list[str] | None = None, how: str = "inner") -> DataFrame:
+    """Range (interval) join: pair every point row with every interval row
+    where start <= point <= end (and the optional `on` keys match). Spark
+    plans a raw inequality join as a broadcast nested loop — quadratic;
+    this is the standard BIN-BUCKETING rewrite: each interval explodes to
+    the fixed-size bins it covers, each point lives in exactly one bin, so
+    the join is an equi-join on (bins..., on...) followed by the exact
+    range filter. No duplicates (a point has one bin) and no
+    cross-product; cost tracks intervals × bins-per-interval. Pick
+    `granularity` near the median interval length (bins/interval ≈ 2)."""
+    gb = F.lit(float(granularity))
+    ibin = F.explode(
+        F.sequence(
+            F.floor(F.col(start_col) / gb).cast("long"),
+            F.floor(F.col(end_col) / gb).cast("long"),
+        )
+    ).alias("_bin")
+    iv = intervals.select("*", ibin)
+    pt = points.withColumn("_bin", F.floor(F.col(point_col) / gb).cast("long"))
+    keys = ["_bin"] + (on or [])
+    return (
+        pt.join(iv, keys, how)
+        .filter((F.col(point_col) >= F.col(start_col))
+                & (F.col(point_col) <= F.col(end_col)))
+        .drop("_bin")
+    )

@@ -257,3 +257,16 @@ def test_asof_join_semantics(spark):
     assert got[2] == 100.0   # 21 > 20 → not visible yet
     assert got[3] == 210.0   # 21 <= 25 → the newer right row wins
     assert got[4] is None    # v's only right row is at ts 9 > 5
+
+
+def test_range_join_bins(spark):
+    from kgsum_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 15.0), (4, 99.0)], "id long, t double")
+    iv = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 9.0, 20.0)], "iid long, s double, e double")
+    got = {(r["id"], r["iid"]) for r in
+           range_join(pts, iv, "t", "s", "e", granularity=4.0).collect()}
+    # boundaries inclusive on both ends; bin-spanning intervals still match
+    assert got == {(1, 100), (2, 100), (2, 200), (3, 200)}
