@@ -101,3 +101,24 @@ def salted_broadcast_map(
     )
     out = salted_big.join(salted_map, [key, "_salt"], "left").drop("_salt")
     return out
+
+
+def minhash_similarity_edges(norms: DataFrame,
+                             threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """MinHash+LSH alternative to token-blocking for the similarity edges
+    (the north_rule names both): unigram shingles over the normalized
+    vocabulary = token-SET Jaccard, exact-verified on LSH candidates.
+
+    Strictly higher recall than token-blocking at the same threshold:
+    blocking only pairs norms sharing their FIRST token, minhash pairs any
+    candidates with overlapping token sets ('acme labs' ↔ 'labs acme').
+    Cost is vocabulary-sized either way (linking dedups before similarity).
+    """
+    from .datapipe.dedup import minhash_neardup_verified
+
+    df = norms.select(F.col("norm"))
+    return (
+        minhash_neardup_verified(df, id_col="norm", text_col="norm",
+                                 n=1, threshold=threshold)
+        .select("a", "b")
+    )

@@ -43,3 +43,27 @@ def test_salted_join_equals_broadcast(spark):
         .groupBy("canon").count().orderBy("canon").collect()
     )
     assert a == b
+
+
+def test_minhash_edges_superset_of_blocking(spark):
+    """MinHash similarity edges must contain every token-blocking edge at
+    the same threshold, plus cross-block pairs blocking cannot see."""
+    from kgsum_spark.linking import (
+        distinct_norms,
+        minhash_similarity_edges,
+        similarity_edges,
+    )
+
+    rows = [("acme labs",), ("acme",), ("labs acme corp",),
+            ("zorblax",), ("zorblax labs",), ("other thing",)]
+    mentions = spark.createDataFrame(rows, ["norm"]).withColumn(
+        "block_key", F.substring_index("norm", " ", 1))
+    norms = distinct_norms(mentions.select("norm", "block_key"))
+    blocked = {(r["a"], r["b"]) for r in similarity_edges(norms).collect()}
+    mh = {(r["a"], r["b"]) for r in
+          minhash_similarity_edges(norms.select("norm")).collect()}
+    assert blocked <= mh
+    # cross-block pair invisible to blocking: 'acme labs' ~ 'labs acme corp'
+    # (J = 2/3 ≥ 0.5; first tokens differ)
+    assert ("acme labs", "labs acme corp") in mh
+    assert ("acme labs", "labs acme corp") not in blocked
