@@ -385,3 +385,80 @@ def lemmatize_spacy(df: DataFrame, text_col: str = "text",
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+def train_latent_classifier(df: DataFrame, text_col: str, label_col: str,
+                            latent_dim: int = 32, vocab_size: int = 2048,
+                            n_iter: int = 10, seed: int = 42,
+                            train_ratio: float = 0.5):
+    """N8 analog — the reference's autoencoder pipeline (TF-IDF → MLP
+    encoder latent-32 → RandomForest + RandomizedSearchCV,
+    /root/reference/src/autoencoder_pipeline.py:85-131,273-312) rebuilt
+    deterministic and distributed: TF-IDF → PCA (the EXACT linear
+    autoencoder — the minimizer of the same reconstruction-MSE objective
+    the reference's ReLU MLP approximates) → Spark ML RandomForest with
+    the reference's search grid (n_estimators/max_depth/min_samples_split)
+    through the same seeded TrainValidationSplit machinery as N5.
+
+    vocab_size is capped because Spark ML PCA materializes a d×d
+    covariance (O(d²) memory); for the reference's full 10k features at
+    cluster scale, swap the PCA stage for mllib RowMatrix.computeSVD
+    (sparse ARPACK) — same latent semantics."""
+    import itertools
+    import random
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import (
+        IDF,
+        PCA,
+        CountVectorizer,
+        IndexToString,
+        SQLTransformer,
+        StringIndexer,
+    )
+    from pyspark.ml.tuning import TrainValidationSplit
+
+    tok = SQLTransformer(statement=(
+        "SELECT *, filter(split(lower(coalesce({c}, '')), '[^a-z0-9]+'), "
+        "x -> length(x) >= 2) AS _toks FROM __THIS__"
+    ).format(c=text_col))
+    cv = CountVectorizer(inputCol="_toks", outputCol="_tf", vocabSize=vocab_size)
+    idf = IDF(inputCol="_tf", outputCol="_features")
+    pca = PCA(k=latent_dim, inputCol="_features", outputCol="_latent")
+    si = StringIndexer(inputCol=label_col, outputCol="_label", handleInvalid="keep")
+    rf = RandomForestClassifier(featuresCol="_latent", labelCol="_label", seed=seed)
+    grid = {
+        rf.numTrees: [100, 200, 300],
+        rf.maxDepth: [10, 20, 30],
+        rf.minInstancesPerNode: [2, 5, 10],
+    }
+    params = list(grid.keys())
+    combos = list(itertools.product(*[grid[p] for p in params]))
+    rnd = random.Random(seed)
+    if len(combos) > n_iter:
+        combos = rnd.sample(combos, n_iter)
+    param_maps = [dict(zip(params, combo)) for combo in combos]
+
+    pipe = Pipeline(stages=[tok, cv, idf, pca, si, rf])
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol="_label", predictionCol="prediction", metricName="f1")
+    tvs = TrainValidationSplit(estimator=pipe, estimatorParamMaps=param_maps,
+                               evaluator=evaluator, trainRatio=train_ratio,
+                               seed=seed, parallelism=2)
+    model = tvs.fit(df)
+    best_idx = max(range(len(param_maps)),
+                   key=lambda i: (model.validationMetrics[i], -i))
+    best = model.bestModel
+    i2s = IndexToString(inputCol="prediction", outputCol="prediction_label",
+                        labels=best.stages[4].labelsArray[0])
+    from pyspark.ml import PipelineModel
+
+    info = {
+        "latent_dim": latent_dim,
+        "best_f1_weighted": float(model.validationMetrics[best_idx]),
+        "best_params": {p.name: v for p, v in param_maps[best_idx].items()},
+        "n_candidates": len(param_maps),
+    }
+    return PipelineModel(stages=list(best.stages) + [i2s]), info

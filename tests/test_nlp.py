@@ -162,3 +162,18 @@ def test_langdetect_and_spacy_gates_raise(spark):
     except ImportError:
         with pytest.raises(NotImplementedError):
             lemmatize_spacy(df)
+
+
+def test_n8_latent_classifier(labeled_docs):
+    """N8 analog: TF-IDF → PCA latent-32 → seeded RandomForest search —
+    the latent space must carry enough signal to separate the corpus."""
+    from kgsum_spark.nlp import train_latent_classifier
+    from kgsum_spark.operators.agg import classification_metrics
+
+    model, info = train_latent_classifier(
+        labeled_docs, "text", "label", latent_dim=8, n_iter=2)
+    assert info["n_candidates"] == 2 and info["best_f1_weighted"] > 0.9
+    pred = model.transform(labeled_docs).select(
+        "label", F.col("prediction_label").alias("pred"))
+    m = {r["cls"]: r for r in classification_metrics(pred, "label", "pred").collect()}
+    assert m["tech"]["f1"] > 0.9 and m["food"]["f1"] > 0.9
