@@ -88,6 +88,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
     Caveat: legitimately-NULL right values are forward-filled through
     (ignorenulls semantics); wrap values in a struct upstream if NULL is
     a payload you need to preserve."""
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        # a left column named like a right payload column would merge into
+        # the same union slot and poison the forward fill — refuse loudly
+        raise ValueError(f"right_cols {sorted(clash)} collide with left columns")
     r = right.select(on, ts_col, *right_cols).withColumn("_side", F.lit(0))
     l = left.withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
@@ -113,7 +118,13 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
     the join is an equi-join on (bins..., on...) followed by the exact
     range filter. No duplicates (a point has one bin) and no
     cross-product; cost tracks intervals × bins-per-interval. Pick
-    `granularity` near the median interval length (bins/interval ≈ 2)."""
+    `granularity` near the median interval length (bins/interval ≈ 2).
+    Degenerate intervals (end < start) are dropped, matching what an
+    inequality join would do — F.sequence would otherwise throw on the
+    negative step."""
+    if granularity <= 0:
+        raise ValueError("granularity must be positive")
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     gb = F.lit(float(granularity))
     ibin = F.explode(
         F.sequence(

@@ -270,3 +270,25 @@ def test_range_join_bins(spark):
            range_join(pts, iv, "t", "s", "e", granularity=4.0).collect()}
     # boundaries inclusive on both ends; bin-spanning intervals still match
     assert got == {(1, 100), (2, 100), (2, 200), (3, 200)}
+
+
+def test_asof_join_name_clash_raises(spark):
+    import pytest as _pytest
+
+    from kgsum_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, "u", 10, 1.0)], "id long, k string, ts long, px double")
+    right = spark.createDataFrame([("u", 9, 2.0)], "k string, ts long, px double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", ts_col="ts", right_cols=["px"])
+
+
+def test_range_join_degenerate_intervals_dropped(spark):
+    from kgsum_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame([(1, 5.0)], "id long, t double")
+    iv = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 9.0, 2.0)], "iid long, s double, e double")
+    got = {(r["id"], r["iid"]) for r in
+           range_join(pts, iv, "t", "s", "e", granularity=4.0).collect()}
+    assert got == {(1, 100)}  # end < start interval silently dropped
