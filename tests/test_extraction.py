@@ -68,3 +68,33 @@ def test_first_match_wins_matches_oracle(spark):
     rows = extract_raw_triples(df).collect()
     assert len(rows) == 1
     assert (rows[0]["pred"], rows[0]["subj"], rows[0]["obj"]) == (rule.pred, subj, obj)
+
+
+def test_hostile_inputs(spark):
+    """None / empty / unicode / huge / near-miss turns must not crash the
+    extractor or emit spurious triples."""
+    rows = [
+        ("c0", 0, None),
+        ("c0", 1, ""),
+        ("c0", 2, "   "),
+        ("c0", 3, "Ünïcødé 漢字 is a test."),          # non-ascii subject: rule obj ok
+        ("c0", 4, "almost is a"),                      # near-miss: no final period
+        ("c0", 5, "x was created by"),                 # near-miss: missing obj
+        ("c0", 6, ("verylong " * 12000) + "Z is a token."),  # ~100KB turn
+        ("c0", 7, "A is a b. " * 500),                 # many sentences, one rule
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = extract_raw_triples(df).collect()
+    by_turn = {}
+    for r in got:
+        by_turn.setdefault(r["turn_idx"], []).append(r)
+    assert set(by_turn) <= {3, 6, 7}
+    assert len(by_turn.get(6, [])) == 1 and by_turn[6][0]["subj"].endswith("Z")
+    assert len(by_turn.get(7, [])) == 500
+    # unicode subject survives byte-identically
+    assert by_turn[3][0]["subj"] == "Ünïcødé 漢字"
+
+
+def test_empty_dataframe_extraction(spark):
+    df = spark.createDataFrame([], "conv_id string, turn_idx int, text string")
+    assert extract_raw_triples(df).count() == 0
