@@ -922,6 +922,20 @@ def j9_range_join(spark, sf):
     ).orderBy("event_id", "signup_id")
 
 
+def w_context_window(spark, sf):
+    """Context-window assembly: rowsBetween(-2, 0) frame concatenating the
+    last 3 turns per conversation (SURVEY §2.6 frame-spec surface)."""
+    from kgsum_spark.assembly import with_context
+
+    turns = _events_as_transcripts(_t(spark, sf, "events"))
+    out = with_context(turns, n_prev=2)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        "context_text",
+    ).orderBy("conv_id", "turn_idx")
+
+
 def ann_ivf_topk(spark, sf):
     """IVF ANN (KMeans coarse quantizer + nprobe-cell scan) at FULL probe,
     where the result provably equals brute force — the SQL oracle is the
@@ -1127,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefix": dedup_ngram_prefix,
         "j8_asof_join": j8_asof_join,
         "j9_range_join": j9_range_join,
+        "w_context_window": w_context_window,
         # full-pipeline + verified near-dup surfaces (all oracled as of r2)
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_flagship_histogram": kg_flagship_histogram,
@@ -1592,6 +1607,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON sha256(concat('Customer#', lpad(CAST(o_custkey AS VARCHAR), 9, '0')))
                            = sha256(c_name)
             GROUP BY 1 ORDER BY segment
+        """,
+        "w_context_window": """
+            WITH t AS (
+                SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+                       CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts ASC, event_id ASC)
+                            - 1 AS BIGINT) AS turn_idx,
+                       'Ev' || CAST(event_id % 200 AS VARCHAR) || ' is a '
+                       || event_type || '.'
+                       || CASE WHEN value > 10
+                               THEN ' Ev' || CAST(event_id % 200 AS VARCHAR)
+                                    || ' same as http://ex.org/r/'
+                                    || CAST(user_id AS VARCHAR) || '.'
+                               ELSE '' END AS text
+                FROM events
+            )
+            SELECT conv_id, turn_idx,
+                   string_agg(text, ' ') OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS context_text
+            FROM t ORDER BY conv_id, turn_idx
         """,
         "window_turn_assembly": """
             SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -39,3 +39,20 @@ def dedupe_turns_keep_last(transcripts: DataFrame) -> DataFrame:
         .filter(F.col("_r") == 1)
         .drop("_r")
     )
+
+
+def with_context(transcripts: DataFrame, n_prev: int = 2,
+                 out_col: str = "context_text") -> DataFrame:
+    """Context-window assembly (SURVEY §2.6's rowsBetween case): attach the
+    last n_prev turns plus the current one as a single space-joined context
+    string — the substrate for cross-turn coreference / dialogue-state
+    features. Explicit frame spec: rowsBetween(-n_prev, 0) over the same
+    conv_id window as assemble_turns, so no extra shuffle when composed."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").asc(), F.col("ts").asc())
+        .rowsBetween(-n_prev, Window.currentRow)
+    )
+    return transcripts.withColumn(
+        out_col, F.array_join(F.collect_list("text").over(w), " ")
+    )

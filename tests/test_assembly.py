@@ -45,3 +45,15 @@ def test_keep_last_dedup(spark):
     assert len(out) == 2
     assert out[0]["text"] == "new text"
     assert out[1]["text"] == "only"
+
+
+def test_with_context_frame(spark):
+    from kgsum_spark.assembly import with_context
+
+    rows = [("c", 0, "u", "t0.", None, 0), ("c", 1, "u", "t1.", None, 1),
+            ("c", 2, "u", "t2.", None, 2), ("c", 3, "u", "t3.", None, 3)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts long")
+    got = {r["turn_idx"]: r["context_text"] for r in
+           with_context(df, n_prev=2).collect()}
+    assert got == {0: "t0.", 1: "t0. t1.", 2: "t0. t1. t2.", 3: "t1. t2. t3."}
