@@ -922,6 +922,20 @@ def j9_range_join(spark, sf):
     ).orderBy("event_id", "signup_id")
 
 
+def a10_funnel(spark, sf):
+    """Funnel depth per user over the ordered step sequence
+    signup → view → purchase (greedy min-ts joins; see
+    operators.agg.funnel_steps)."""
+    e = _t(spark, sf, "events")
+    out = A.funnel_steps(e, "user_id", "event_type", "ts",
+                         ["signup", "view", "purchase"])
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("depth").cast("bigint").alias("depth"),
+        F.col("reached_ts").cast("timestamp").cast("long").alias("reached_epoch"),
+    ).orderBy("user_id")
+
+
 def w_context_window(spark, sf):
     """Context-window assembly: rowsBetween(-2, 0) frame concatenating the
     last 3 turns per conversation (SURVEY §2.6 frame-spec surface)."""
@@ -1142,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_asof_join": j8_asof_join,
         "j9_range_join": j9_range_join,
         "w_context_window": w_context_window,
+        "a10_funnel": a10_funnel,
         # full-pipeline + verified near-dup surfaces (all oracled as of r2)
         "kg_pipeline_triples": kg_pipeline_triples,
         "kg_flagship_histogram": kg_flagship_histogram,
@@ -1607,6 +1622,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON sha256(concat('Customer#', lpad(CAST(o_custkey AS VARCHAR), 9, '0')))
                            = sha256(c_name)
             GROUP BY 1 ORDER BY segment
+        """,
+        "a10_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+            )
+            SELECT CAST(s1.user_id AS BIGINT) AS user_id,
+                   CAST(CASE WHEN s3.t IS NOT NULL THEN 3
+                             WHEN s2.t IS NOT NULL THEN 2
+                             ELSE 1 END AS BIGINT) AS depth,
+                   CAST(floor(epoch(coalesce(s3.t, s2.t, s1.t))) AS BIGINT)
+                       AS reached_epoch
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+            ORDER BY user_id
         """,
         "w_context_window": """
             WITH t AS (

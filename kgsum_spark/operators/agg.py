@@ -193,3 +193,43 @@ def running_accuracy(df: DataFrame, label: str, pred: str, order_col,
         .withColumn("running_accuracy",
                     F.col("hits_so_far") / F.col("n_so_far"))
     )
+
+
+def funnel_steps(df: DataFrame, user_col: str, type_col: str, ts_col,
+                 steps: list[str]) -> DataFrame:
+    """Funnel analysis: per user, the deepest step of `steps` reached IN
+    ORDER (each step strictly after the previous one's chosen event) —
+    the windowFunnel-style operator analytics engines ship natively.
+
+    Plan: one filtered scan per step + greedy min-ts joins. Greedy is
+    optimal here: taking the EARLIEST valid occurrence of step k maximizes
+    the events available for step k+1, so depth is exact. k-1 small joins
+    on the user key (each side one row per user) — no per-user event
+    collection, state stays user-cardinality-sized."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    out = cur.select(user_col, F.lit(1).alias("depth"), F.col("t1").alias("_t"))
+    prev = cur.withColumnRenamed("t1", "_t")
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .join(prev.select(user_col, "_t"), user_col)
+            .filter(F.col(ts_col) > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t2"))
+        )
+        prev = nxt.withColumnRenamed("_t2", "_t")
+        out = out.unionByName(
+            prev.select(user_col, F.lit(i).alias("depth"), F.col("_t"))
+        )
+    w = Window.partitionBy(user_col).orderBy(F.col("depth").desc())
+    return (
+        out.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(user_col, "depth", F.col("_t").alias("reached_ts"))
+    )

@@ -292,3 +292,18 @@ def test_range_join_degenerate_intervals_dropped(spark):
     got = {(r["id"], r["iid"]) for r in
            range_join(pts, iv, "t", "s", "e", granularity=4.0).collect()}
     assert got == {(1, 100)}  # end < start interval silently dropped
+
+
+def test_funnel_steps(spark):
+    rows = [
+        ("u1", "signup", 1), ("u1", "view", 2), ("u1", "purchase", 3),   # full funnel
+        ("u2", "view", 1), ("u2", "signup", 2),                          # view BEFORE signup → depth 1
+        ("u3", "signup", 5),                                             # depth 1
+        ("u4", "purchase", 1),                                           # never signed up → absent
+        ("u5", "signup", 1), ("u5", "purchase", 2), ("u5", "view", 3),   # purchase before view → depth 2 (signup,view)
+    ]
+    df = spark.createDataFrame(rows, "u string, t string, ts long")
+    got = {r["u"]: r["depth"] for r in
+           agg.funnel_steps(df, "u", "t", "ts",
+                            ["signup", "view", "purchase"]).collect()}
+    assert got == {"u1": 3, "u2": 1, "u3": 1, "u5": 2}
