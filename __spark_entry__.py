@@ -655,6 +655,8 @@ def f6_lang_fallback(spark, sf):
 
 
 def f7_scrub_empty_lists(spark, sf):
+    """Array output serialized with array_join — the driver harness
+    canonicalizes via pandas sort and cannot hash list cells."""
     from kgsum_spark.operators.filters import scrub_empty_lists
 
     e = _t(spark, sf, "events").select(
@@ -662,7 +664,10 @@ def f7_scrub_empty_lists(spark, sf):
         F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("array<string>"))
         .otherwise(F.array(F.col("event_type"))).alias("tags"),
     )
-    return scrub_empty_lists(e, ["tags"]).orderBy("event_id")
+    out = scrub_empty_lists(e, ["tags"])
+    return out.select(
+        "event_id", F.array_join("tags", ",").alias("tags")
+    ).orderBy("event_id")
 
 
 def f8_title_skip(spark, sf):
@@ -784,7 +789,7 @@ def c11_c12_arrays(spark, sf):
     flat = C.flatten_stringify(nested)
     return e.select(
         F.col("event_id").cast("bigint").alias("event_id"),
-        flat.alias("flat"),
+        F.array_join(flat, ",").alias("flat"),
         C.space_join(flat).alias("joined"),
     ).orderBy("event_id")
 
@@ -859,7 +864,7 @@ def c6_hybrid_tokenizer(spark, sf):
                     F.lit(" see http://ex.org/doc/"), F.col("doc_id").cast("string"))
     return d.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        hybrid_tokenize(text).alias("toks"),
+        F.array_join(hybrid_tokenize(text), ",").alias("toks"),
     ).orderBy("doc_id")
 
 
@@ -1387,7 +1392,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "c11_c12_arrays": """
-            SELECT CAST(event_id AS BIGINT) AS event_id, flat,
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   array_to_string(flat, ',') AS flat,
                    array_to_string(flat, ' ') AS joined
             FROM (SELECT event_id,
                          list_filter(flatten([[event_type, ''],
@@ -1437,12 +1443,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "c6_hybrid_tokenizer": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   flatten(list_transform(
+                   array_to_string(flatten(list_transform(
                        string_split_regex(trim(text2), '\\s+'),
                        t -> CASE WHEN regexp_matches(t, '{loose_re}')
                                  THEN [t]
                                  ELSE regexp_extract_all(lower(t), '[a-z0-9_]{{2,}}')
-                            END)) AS toks
+                            END)), ',') AS toks
             FROM (SELECT doc_id,
                          substr(text, 1, 60) || ' see http://ex.org/doc/'
                          || CAST(doc_id AS VARCHAR) AS text2
@@ -1493,8 +1499,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f7_scrub_empty_lists": """
             SELECT CAST(event_id AS BIGINT) AS event_id,
-                   CASE WHEN event_id % 5 = 0 THEN []::VARCHAR[]
-                        ELSE [event_type] END AS tags
+                   coalesce(array_to_string(
+                       CASE WHEN event_id % 5 = 0 THEN []::VARCHAR[]
+                            ELSE [event_type] END, ','), '') AS tags
             FROM events ORDER BY event_id
         """,
         "f8_title_skip": """
