@@ -1095,7 +1095,27 @@ def ann_lsh_pairs_embeddings(spark, sf):
     ).orderBy("a", "b")
 
 
+def _release_tracked_caches(fn):
+    """Release the PREVIOUS query's tracked persisted intermediates before
+    building this one. The near-dup/ANN operators persist self-join inputs
+    they cannot unpersist themselves (they return lazy frames); a driver
+    session running all 70 queries back-to-back would otherwise accumulate
+    MEMORY_AND_DISK blocks. Bounds live cache to one query's worth."""
+    def run(spark, sf_dir, _fn=fn):
+        from kgsum_spark.datapipe._util import unpersist_tracked
+        unpersist_tracked()
+        return _fn(spark, sf_dir)
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_raw()
+    return {k: _release_tracked_caches(v) for k, v in base.items()}
+
+
+def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_namespaces": q1_namespaces,
         "q2_class_histogram": q2_class_histogram,

@@ -114,6 +114,10 @@ def main() -> None:
     # costs ~6-10s to compile), the second gives the JIT enough iterations
     # to reach steady state — so the timed sf run measures execution, not
     # compilation.
+    # queries() wraps each callable to release the previous query's tracked
+    # persisted intermediates (kgsum_spark.datapipe._util.unpersist_tracked),
+    # so the 3 passes x 13 queries don't accumulate MEMORY_AND_DISK blocks
+    # that compete with execution memory.
     for warm_sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         for name in OPERATOR_QUERIES:
             qs[name](spark, warm_sf).count()
@@ -121,6 +125,8 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+    from kgsum_spark.datapipe._util import unpersist_tracked
+    unpersist_tracked()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

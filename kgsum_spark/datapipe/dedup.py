@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kgsum_spark.datapipe._util import persist_tracked, spread as _spread_impl
+
 # 2^31-1: keeps a·x within int64 (a, x < 2^31 → product < 2^62), so the
 # modular hash runs under ANSI overflow checking without try_multiply.
 MERSENNE = (1 << 31) - 1
@@ -27,25 +29,10 @@ def normalize_text(c):
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Widen under-partitioned inputs before a cardinality-exploding stage.
-
-    A small parquet file arrives as 1-2 scan partitions; exploding it into
-    shingles/tokens would then run on 1-2 cores. One cheap shuffle of the
-    narrow input buys a fully parallel explode. No-op when the input is
-    already at least as wide as the cluster (the 100 TB case)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    # Prefer the metadata-only inputFiles() probe: a file-scan DF with fewer
-    # files than cores is (at most) that many scan partitions. Fall back to
-    # the RDD partition probe only for derived (non-scan) inputs — df.rdd
-    # forces plan-to-physical materialization, which inputFiles avoids.
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:  # noqa: BLE001 — streaming / non-file plans
-        n_files = 0
-    n_parts = n_files if n_files > 0 else df.rdd.getNumPartitions()
-    if n_parts < target:
-        return df.repartition(target, key)
-    return df
+    """Widen under-partitioned inputs before a cardinality-exploding stage
+    (shared implementation: datapipe/_util.py — inputFiles() upper bound,
+    then size-based bin-packing estimate, then the RDD probe)."""
+    return _spread_impl(df, key)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
@@ -189,25 +176,35 @@ def minhash_lsh_candidates(
     share any (band, band_hash) → candidate pairs (a, b). Estimated
     Jaccard from full signatures attached for thresholding.
 
-    bands*rows_per_band must not exceed the signature length (num_perm):
-    F.slice past the end would yield identical empty band arrays for every
-    doc — one global bucket, an O(n²) candidate blow-up."""
-    if bands * rows_per_band > num_perm:
+    bands*rows_per_band must not exceed the signature length: F.slice past
+    the end would yield identical empty band arrays for every doc — one
+    global bucket, an O(n²) candidate blow-up. The static num_perm check
+    catches mismatched defaults early, and a per-row in-plan guard (zero
+    extra jobs, one codegen'd branch) derives the ACTUAL signature length
+    from the data, so a caller who built sigs with num_perm=8 but banded
+    with the 64-perm defaults gets a runtime error, not a silent O(n²)."""
+    need = bands * rows_per_band
+    if need > num_perm:
         raise ValueError(
             f"bands*rows_per_band ({bands}*{rows_per_band}) exceeds "
             f"signature length num_perm={num_perm}"
         )
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(F.slice("sig", bi * rows_per_band + 1, rows_per_band).cast("string")).alias("bh"),
+        )
+        for bi in range(bands)
+    ])
+    guarded = F.when(F.size("sig") >= need, band_arr).otherwise(
+        F.raise_error(F.concat(
+            F.lit("minhash_lsh_candidates: signature length "),
+            F.size("sig").cast("string"),
+            F.lit(f" < bands*rows_per_band={need}"),
+        ))
+    )
     banded = sigs.select(
-        "id", "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(F.slice("sig", bi * rows_per_band + 1, rows_per_band).cast("string")).alias("bh"),
-                )
-                for bi in range(bands)
-            ])
-        ).alias("bk"),
+        "id", "sig", F.explode(guarded).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.bh")
     a = banded.select(F.col("id").alias("a"), F.col("sig").alias("siga"), "band", "bh")
     b = banded.select(F.col("id").alias("b"), F.col("sig").alias("sigb"), "band", "bh")
@@ -295,20 +292,18 @@ def exact_ngram_jaccard_on_pairs(
     """(a, b) candidate pairs → (a, b, jaccard) with EXACT word-n-gram
     Jaccard. Shingle scan is semi-join-pruned to the candidate doc ids, so
     cost is proportional to candidates, not corpus."""
-    from pyspark import StorageLevel
-
     # pairs feeds THREE consumers (two id unions + the common-join) and the
     # pruned shingle set two — persist both or the upstream subtrees (the
     # full LSH join, the corpus shingle scan) run once per consumer. Both
     # frames are candidate-proportional, not corpus-proportional.
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = persist_tracked(pairs)
     sh = _shingles(df, id_col, text_col, n)
     ids = (
         pairs.select(F.col("a").alias("id"))
         .unionByName(pairs.select(F.col("b").alias("id")))
         .distinct()
     )
-    sh = sh.join(ids, "id", "left_semi").persist(StorageLevel.MEMORY_AND_DISK)
+    sh = persist_tracked(sh.join(ids, "id", "left_semi"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         pairs.join(sh.select(F.col("id").alias("a"), "shingle"), "a")
@@ -342,10 +337,8 @@ def minhash_neardup_verified(
     whole signature subtree for each side. Signature volume is num_perm
     longs per DOCUMENT (vocabulary-sized, not corpus-sized) — safe to
     persist at any scale."""
-    from pyspark import StorageLevel
-
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = persist_tracked(
+        minhash_signatures(df, id_col, text_col, n, num_perm, seed))
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band, num_perm).select("a", "b")
     return (
         exact_ngram_jaccard_on_pairs(cand, df, id_col, text_col, n)
@@ -397,9 +390,7 @@ def simhash_hamming_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     agree on at least one block — every true pair is a candidate in some
     block's bucket join. Exact bit_count(xor) then decides. (The classical
     multi-index Hamming scheme; single-prefix blocking was the r1 gap.)"""
-    from pyspark import StorageLevel
-
-    sim = sim.persist(StorageLevel.MEMORY_AND_DISK)  # self-join reads it twice
+    sim = persist_tracked(sim)  # self-join reads it twice
     n_blocks = max_hamming + 1
     bpb = _SIMHASH_BITS // n_blocks
     blocks = []

@@ -16,18 +16,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kgsum_spark.datapipe._util import persist_tracked, spread as _spread_impl
+
 
 def _to_double(c) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Widen under-partitioned inputs before per-row vector math (see
-    datapipe.dedup._spread)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
-    return df
+    """Widen under-partitioned inputs before per-row vector math (shared
+    metadata-only implementation: datapipe/_util.py)."""
+    return _spread_impl(df, key)
 
 
 def dot(a, b) -> Column:
@@ -157,11 +156,9 @@ def multi_lsh_candidates(
             })
             yield out
 
-    from pyspark import StorageLevel
-
-    sigs = df.select(id_col, vec_col).mapInPandas(
+    sigs = persist_tracked(df.select(id_col, vec_col).mapInPandas(
         gen, "id long, table int, bucket long"
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # self-join reads it twice
+    ))  # self-join reads it twice
     a = sigs.select(F.col("id").alias("a"), "table", "bucket")
     b = sigs.select(F.col("id").alias("b"), "table", "bucket")
     return (
@@ -181,10 +178,8 @@ def ann_pairs_verified(
     LSH candidates — emitted values are hash-independent (the LSH stage
     only prunes), so a brute-force SQL oracle checks the result. Tests
     assert recall 1.0 vs brute force on testdata at sf0.001/0.01/0.1."""
-    from pyspark import StorageLevel
-
-    cand = multi_lsh_candidates(df, dim, n_planes, n_tables, seed, id_col, vec_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cand = persist_tracked(
+        multi_lsh_candidates(df, dim, n_planes, n_tables, seed, id_col, vec_col))
     vecs = df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))
     return (
         cand.join(vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")

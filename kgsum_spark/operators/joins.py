@@ -109,7 +109,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
 
 def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
                start_col: str, end_col: str, granularity: float,
-               on: list[str] | None = None, how: str = "inner") -> DataFrame:
+               on: list[str] | None = None) -> DataFrame:
     """Range (interval) join: pair every point row with every interval row
     where start <= point <= end (and the optional `on` keys match). Spark
     plans a raw inequality join as a broadcast nested loop — quadratic;
@@ -121,7 +121,12 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
     `granularity` near the median interval length (bins/interval ≈ 2).
     Degenerate intervals (end < start) are dropped, matching what an
     inequality join would do — F.sequence would otherwise throw on the
-    negative step."""
+    negative step.
+
+    Inner-join semantics only: the post-join range filter evaluates NULL
+    for unmatched rows, so a `how` parameter would silently degrade any
+    outer variant to inner (left-join callers should left-join the result
+    back to `points` on the point key)."""
     if granularity <= 0:
         raise ValueError("granularity must be positive")
     intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
@@ -136,7 +141,7 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
     pt = points.withColumn("_bin", F.floor(F.col(point_col) / gb).cast("long"))
     keys = ["_bin"] + (on or [])
     return (
-        pt.join(iv, keys, how)
+        pt.join(iv, keys, "inner")
         .filter((F.col(point_col) >= F.col(start_col))
                 & (F.col(point_col) <= F.col(end_col)))
         .drop("_bin")

@@ -476,3 +476,41 @@ def test_prefix_join_small_fixture(spark, docs):
                                             threshold=0.5).collect()}
     assert (0, 1) in got and (0, 5) in got and (1, 5) in got and (0, 2) in got
     assert all(not (a in (3, 4) or b in (3, 4)) for a, b in got)
+
+
+# --- r3: guard + lifecycle fixes (ADVICE round 2) ---------------------------
+
+
+def test_minhash_band_guard_derives_length_from_data(spark, docs):
+    """Signatures built with fewer perms than bands*rows_per_band must
+    raise at runtime (data-derived length), not silently collapse every
+    doc into one empty-band bucket."""
+    sigs8 = dedup.minhash_signatures(docs, "doc_id", "text", n=2, num_perm=8)
+    with pytest.raises(Exception, match="signature length"):
+        dedup.minhash_lsh_candidates(sigs8, bands=16, rows_per_band=4,
+                                     num_perm=64).count()
+
+
+def test_minhash_band_guard_static(spark, docs):
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=2, num_perm=8)
+    with pytest.raises(ValueError, match="exceeds"):
+        dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4,
+                                     num_perm=8)
+
+
+def test_unpersist_tracked_releases_frames(spark, docs):
+    from kgsum_spark.datapipe._util import _TRACKED, unpersist_tracked
+
+    unpersist_tracked()
+    out = dedup.minhash_neardup_verified(docs, "doc_id", "text", n=2,
+                                         threshold=0.5)
+    out.count()
+    assert len(_TRACKED) > 0  # sigs + pairs + pruned shingles registered
+    persisted = [df for df in _TRACKED if df.storageLevel.useMemory
+                 or df.storageLevel.useDisk]
+    assert persisted
+    n = unpersist_tracked()
+    assert n == len(persisted) or n >= len(persisted)
+    assert not _TRACKED
+    for df in persisted:
+        assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
