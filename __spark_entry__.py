@@ -972,6 +972,44 @@ def ann_ivf_topk(spark, sf):
     )
 
 
+def ann_ivf_pruned(spark, sf):
+    """IVF search over a MATERIALIZED cell-partitioned parquet layout with
+    a GENUINE partial probe (4 of 8 cells) — the scan carries
+    PartitionFilters: [cell IN (...)], i.e. file-level pruning (asserted
+    in tests/test_datapipe.py). The quantizer here is a sign-bit
+    hyperplane cell over dims 1-3 (SQL-portable, unlike KMeans), so the
+    DuckDB oracle reproduces the probed-cell membership bit-for-bit; the
+    KMeans quantizer path is oracled at full probe (ann_ivf_topk) and
+    recall-tested at partial probe."""
+    import os
+
+    e = _t(spark, sf, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in qrow["embedding"]]
+    cell = (
+        F.when(F.element_at("embedding", 1) >= 0, F.lit(4)).otherwise(F.lit(0))
+        + F.when(F.element_at("embedding", 2) >= 0, F.lit(2)).otherwise(F.lit(0))
+        + F.when(F.element_at("embedding", 3) >= 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    assigned = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        cell.alias("cell"),
+    )
+    # probe = the 4 cells closest to the query's own sign-bit cell by
+    # Hamming distance (ties -> lower cell id); pure driver-side math
+    qbits = ((4 if q[0] >= 0 else 0) + (2 if q[1] >= 0 else 0)
+             + (1 if q[2] >= 0 else 0))
+    probe = sorted(range(8), key=lambda c: (bin(c ^ qbits).count("1"), c))[:4]
+    path = f"/tmp/kgsum_ivf_pruned_{os.path.basename(sf.rstrip('/'))}"
+    sim.ivf_write(assigned, path, n_cells=8)
+    out = sim.ivf_search_pruned(spark, path, q, k=10, probe=probe)
+    return out.select(
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("sim").cast("double").alias("sim"),
+    )
+
+
 # --- full-pipeline + verified near-dup entries (all oracled as of r2) -----
 
 def _events_as_transcripts_linked(events: DataFrame) -> DataFrame:
@@ -1177,6 +1215,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_nt_lines": s7_nt_lines,
         "c6_hybrid_tokenizer": c6_hybrid_tokenizer,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_pruned": ann_ivf_pruned,
         "dedup_ngram_prefix": dedup_ngram_prefix,
         "j8_asof_join": j8_asof_join,
         "j9_range_join": j9_range_join,
@@ -1946,6 +1985,36 @@ def oracle_sql() -> dict[str, str]:
                                                 list_transform(embedding, x -> CAST(x AS DOUBLE))))
                           * sqrt(list_dot_product(qv, qv))) AS sim
                 FROM embeddings, q WHERE vec_id <> 0
+            )
+            SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_pruned": """
+            WITH q AS (
+                SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                FROM embeddings WHERE vec_id = 0
+            ), qbits AS (
+                SELECT (CASE WHEN qv[1] >= 0 THEN 4 ELSE 0 END
+                      + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN qv[3] >= 0 THEN 1 ELSE 0 END) AS qb
+                FROM q
+            ), probe AS (
+                SELECT t.c FROM generate_series(0, 7) t(c), qbits
+                ORDER BY bit_count(CAST(xor(t.c, qb) AS BIGINT)), t.c
+                LIMIT 4
+            ), cells AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       (CASE WHEN embedding[1] >= 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS cell
+                FROM embeddings WHERE vec_id <> 0
+            ), scored AS (
+                SELECT vec_id,
+                       list_dot_product(v, qv)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(qv, qv))) AS sim
+                FROM cells, q
+                WHERE cell IN (SELECT c FROM probe)
             )
             SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,

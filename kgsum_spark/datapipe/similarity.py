@@ -199,8 +199,9 @@ def ivf_build(
     """Train a coarse quantizer (Spark ML KMeans, seeded) and assign every
     vector to its nearest cell. Returns (centers, assigned) where centers
     is a plain list[list[float]] (broadcastable, tiny) and assigned is the
-    corpus with a `cell` column — at scale, write `assigned` partitioned
-    by cell so a search touches only nprobe/n_cells of the data."""
+    corpus with a `cell` column — at scale, materialize with ivf_write
+    (parquet partitionBy cell) and search with ivf_search_pruned so a
+    query touches only nprobe/n_cells of the files."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
@@ -217,14 +218,10 @@ def ivf_build(
     return centers, assigned
 
 
-def ivf_search(
-    assigned: DataFrame, centers: list[list[float]], query: list[float],
-    k: int = 10, nprobe: int = 4,
-) -> DataFrame:
-    """Top-k by cosine against one query, scanning only the nprobe cells
-    whose centers are nearest the query (cell ranking is driver-side math
-    over the tiny center list). The cell filter prunes the scan — with a
-    cell-partitioned layout it is file-level partition pruning."""
+def rank_cells(centers: list[list[float]], query: list[float],
+               nprobe: int) -> list[int]:
+    """The nprobe cell ids nearest the query by cosine — driver-side math
+    over the tiny center list (n_cells × dim floats)."""
     import math
 
     def cos(a, b):
@@ -233,10 +230,95 @@ def ivf_search(
         return num / den if den else 0.0
 
     ranked = sorted(range(len(centers)), key=lambda i: -cos(centers[i], query))
-    probe = ranked[:nprobe]
+    return ranked[:nprobe]
+
+
+def ivf_search(
+    assigned: DataFrame, centers: list[list[float]], query: list[float],
+    k: int = 10, nprobe: int = 4,
+) -> DataFrame:
+    """Top-k by cosine against one query over an IN-MEMORY assignment,
+    scanning only the nprobe cells nearest the query. The cell filter is a
+    row filter here; for file-level partition pruning (the 100 TB path)
+    materialize with ivf_write and search with ivf_search_pruned."""
+    probe = rank_cells(centers, query, nprobe)
     q = F.lit([float(x) for x in query]).cast("array<double>")
     return (
         assigned.filter(F.col("cell").isin(probe))
+        .select("id", cosine(_to_double(F.col("vec")), q).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def ivf_write(assigned: DataFrame, path: str,
+              centers: list[list[float]] | None = None,
+              files_per_cell: int = 1, n_cells: int | None = None) -> None:
+    """Materialize the IVF index: parquet partitioned BY CELL (hive layout
+    path/cell=<i>/...), centers as a tiny JSON sidecar. A pruned search
+    then touches only nprobe/n_cells of the files — Catalyst partition
+    pruning, no data read outside the probed cells. files_per_cell sizes
+    the per-cell file count (raise it when cells exceed a few hundred MB
+    so a probed cell still scans in parallel)."""
+    import json
+
+    width = n_cells if n_cells is not None else (len(centers) if centers else 1)
+    # Co-locate each cell's rows: shuffle on (cell, salt) so a cell maps to
+    # ~files_per_cell tasks and partitionBy emits ~files_per_cell files per
+    # cell — NOT hash(id), which would scatter every cell across every task
+    # (n_tasks x n_cells tiny files). One file per cell is still a parallel
+    # scan at scale: parquet splits by row group (maxPartitionBytes).
+    salted = assigned.withColumn(
+        "_salt", F.pmod(F.xxhash64("id"), F.lit(max(files_per_cell, 1))))
+    (salted.repartition(max(files_per_cell, 1) * max(width, 1), "cell", "_salt")
+     .drop("_salt")
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    if centers is None:
+        return  # probe set supplied externally (non-centroid quantizers)
+    sc = assigned.sparkSession.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path, "_ivf_centers.json")
+    fs = p.getFileSystem(hconf)
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(centers).encode()))
+    out.close()
+
+
+def ivf_read_centers(spark, path: str) -> list[list[float]]:
+    sc = spark.sparkContext
+    import json
+
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path, "_ivf_centers.json")
+    fs = p.getFileSystem(hconf)
+    stream = fs.open(p)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(data.decode())
+
+
+def ivf_search_pruned(
+    spark, path: str, query: list[float], k: int = 10, nprobe: int = 4,
+    centers: list[list[float]] | None = None,
+    probe: list[int] | None = None,
+) -> DataFrame:
+    """Top-k by cosine over an ivf_write layout, reading ONLY the nprobe
+    probed cell partitions: `cell` is a partition column, so the isin
+    filter becomes PartitionFilters on the scan (file-level pruning —
+    tests assert it in the formatted plan AND that the scan's file list
+    stays within the probed cell directories)."""
+    if probe is None:
+        if centers is None:
+            centers = ivf_read_centers(spark, path)
+        probe = rank_cells(centers, query, nprobe)
+    q = F.lit([float(x) for x in query]).cast("array<double>")
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe))
         .select("id", cosine(_to_double(F.col("vec")), q).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("id").asc())
         .limit(k)

@@ -514,3 +514,52 @@ def test_unpersist_tracked_releases_frames(spark, docs):
     assert not _TRACKED
     for df in persisted:
         assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+
+
+# --- r3: materialized IVF layout — file-level partition pruning -------------
+
+
+def test_ivf_write_pruned_search(spark, tmp_path):
+    """ivf_search_pruned over an ivf_write layout must (a) return exactly
+    the in-memory ivf_search result, (b) carry PartitionFilters on the
+    scan (Catalyst partition pruning, not a row filter), and (c) list only
+    the probed cells' files in the pruned relation."""
+    import io
+    import contextlib
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in
+         e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    centers, assigned = similarity.ivf_build(
+        e.filter(F.col("vec_id") != 0), dim=len(q), n_cells=8)
+    path = str(tmp_path / "ivf_idx")
+    similarity.ivf_write(assigned, path, centers)
+
+    mem = [(r["id"], round(r["sim"], 10)) for r in
+           similarity.ivf_search(assigned, centers, q, k=10, nprobe=3).collect()]
+    pruned = similarity.ivf_search_pruned(spark, path, q, k=10, nprobe=3)
+    got = [(r["id"], round(r["sim"], 10)) for r in pruned.collect()]
+    assert got == mem and len(got) == 10
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    lines = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert lines and "cell" in lines[0] and " IN " in lines[0], lines
+
+    # the probed relation's file list stays inside the 3 probed cell dirs
+    probe = set(similarity.rank_cells(centers, q, 3))
+    probed_read = spark.read.parquet(
+        *[f"{path}/cell={c}" for c in sorted(probe)])
+    n_probed_files = len(probed_read.inputFiles())
+    n_all_files = len(spark.read.parquet(path).inputFiles())
+    assert n_probed_files < n_all_files  # genuinely fewer files than full scan
+
+
+def test_ivf_centers_sidecar_roundtrip(spark, tmp_path):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centers, assigned = similarity.ivf_build(
+        e.filter(F.col("vec_id") != 0), dim=64, n_cells=4)
+    path = str(tmp_path / "ivf_rt")
+    similarity.ivf_write(assigned, path, centers)
+    assert similarity.ivf_read_centers(spark, path) == centers
