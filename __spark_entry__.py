@@ -365,16 +365,32 @@ def text_quality_metrics(spark, sf):
     ).orderBy("doc_id")
 
 
+_LANG_NOISE = "#@! 123 :::"
+
+
+def _lang_snippet(lang: str) -> str:
+    """20 stopwords of `lang` (positions 5-24) — own-language hits are
+    always 20, any other language can only match a strict subset, so the
+    winner is analytically unambiguous while the oracle still has to
+    reproduce the full 12-way scoring + tie-break logic."""
+    return " ".join(ts.STOPWORDS[lang][5:25])
+
+
 def lang_id_heuristic(spark, sf):
+    """N1 — multilingual stopword lang-ID (12 languages) over a
+    deterministic fixture: doc_id % 13 rewrites the text to a snippet of
+    language k's stopwords, or to symbol noise (zero hits → 'und')."""
     d = _t(spark, sf, "documents")
-    low = F.transform(ts.tokens_of(F.col("text")), lambda x: F.lower(x))
-    sw = F.array(*[F.lit(w) for w in ts.STOPWORDS["en"]])
-    hits = F.size(F.filter(low, lambda x: F.array_contains(sw, x))).cast("bigint")
-    return d.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        hits.alias("en_hits"),
-        F.when(hits > 0, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
-    ).orderBy("doc_id")
+    langs = sorted(ts.STOPWORDS)
+    text = F.lit(_LANG_NOISE)
+    for i, lang in enumerate(langs):
+        text = F.when(F.col("doc_id") % 13 == i,
+                      F.lit(_lang_snippet(lang))).otherwise(text)
+    fixture = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), text.alias("text")
+    )
+    return ts.detect_language(fixture).select("doc_id", "lang_pred") \
+        .orderBy("doc_id")
 
 
 def fingerprint_docs(spark, sf):
@@ -1234,6 +1250,54 @@ _PART_URI_SQL = "concat('http://ex.org/', p_brand, '#', replace(p_type, ' ', '_'
 _NORM_SQL = "trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
 
 
+def _sw_sql(lang: str, limit: int | None = None) -> str:
+    """DuckDB list literal of a language's stopword inventory — generated
+    from the SAME kgsum_spark dict the Spark side uses, so widening the
+    lists can never desynchronize the oracles."""
+    words = ts.STOPWORDS[lang][:limit] if limit else ts.STOPWORDS[lang]
+    return "[" + ",".join("'" + w + "'" for w in words) + "]"
+
+
+def _lang_id_oracle_sql() -> str:
+    langs = sorted(ts.STOPWORDS)
+    snips = "\n".join(
+        f"              WHEN {i} THEN '{_lang_snippet(lang)}'"
+        for i, lang in enumerate(langs)
+    )
+    hit_cols = ",\n".join(
+        f"                   len(list_filter(tk, x -> list_contains("
+        f"{_sw_sql(lang)}, x))) AS h_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    winner = "\n".join(
+        f"                        WHEN h_{lang} = {best} THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+            WITH fixture AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CASE CAST(doc_id % 13 AS INT)
+{snips}
+                            ELSE '{_LANG_NOISE}' END AS text
+                FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS tk
+                FROM fixture
+            ), hits AS (
+                SELECT doc_id,
+{hit_cols}
+                FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN {best} = 0 THEN 'und'
+{winner}
+                   END AS lang_pred
+            FROM hits ORDER BY doc_id
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     norm_text = _NORM_SQL.format(c="text")
     # portable 60-bit SimHash, generated: 60 bit-sum aggregates + recombine
@@ -1829,7 +1893,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE common / (sa.sz + sb.sz - common) >= 0.5
             ORDER BY a, b
         """,
-        "text_quality_metrics": """
+        "text_quality_metrics": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
                    CAST(CASE WHEN trim(text) = '' THEN 0
@@ -1837,20 +1901,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
                    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
                    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                        x -> list_contains(['the','a','of','and','to','is','in','that','it','for'], x))) AS BIGINT) AS n_stopwords_en
+                        x -> list_contains({_sw_sql('en')}, x))) AS BIGINT) AS n_stopwords_en
             FROM documents ORDER BY doc_id
         """,
-        "lang_id_heuristic": """
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(hits AS BIGINT) AS en_hits,
-                   CASE WHEN hits > 0 THEN 'en' ELSE 'und' END AS lang_pred
-            FROM (
-                SELECT doc_id,
-                       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                           x -> list_contains(['the','a','of','and','to','is','in','that','it','for'], x))) AS hits
-                FROM documents
-            ) ORDER BY doc_id
-        """,
+        "lang_id_heuristic": _lang_id_oracle_sql(),
         "fingerprint_docs": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    substr(sha256({norm_text}), 1, 16) AS fingerprint

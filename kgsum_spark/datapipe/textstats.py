@@ -13,13 +13,74 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Minimal stopword inventories per language (public common-word lists).
+# Stopword inventories per language — the ~40 most frequent function words
+# of each, drawn from standard public frequency lists (the same inventories
+# every classical stopword-based lang-ID heuristic uses). Kept lowercase
+# and apostrophe-free so both engines (Spark / DuckDB lower()+split) treat
+# them identically. The FIRST TEN English entries are load-bearing for the
+# n_stopwords_en quality metric's oracle — extend lists at the END.
 STOPWORDS = {
-    "en": ["the", "a", "of", "and", "to", "is", "in", "that", "it", "for"],
-    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
-    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "dans", "que"],
-    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "en", "que"],
-    "it": ["il", "la", "gli", "e", "è", "un", "una", "di", "che", "per"],
+    "en": ["the", "a", "of", "and", "to", "is", "in", "that", "it", "for",
+           "on", "with", "as", "was", "are", "be", "this", "have", "not",
+           "but", "by", "from", "they", "you", "he", "we", "at", "or",
+           "his", "her", "all", "there", "their", "what", "which", "when",
+           "who", "will", "an", "one"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf",
+           "zu", "den", "dem", "des", "eine", "er", "sie", "es", "ich",
+           "wir", "ihr", "im", "für", "von", "als", "auch", "an", "aus",
+           "bei", "nach", "wenn", "aber", "oder", "nur", "noch", "wie",
+           "was", "man", "sich", "haben", "wird"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "dans",
+           "que", "qui", "ne", "pas", "pour", "sur", "avec", "au", "aux",
+           "ce", "cette", "il", "elle", "nous", "vous", "ils", "son",
+           "sa", "ses", "mais", "ou", "si", "plus", "par", "tout",
+           "sont", "avoir", "fait", "comme", "même", "aussi"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "en",
+           "que", "no", "se", "por", "con", "para", "su", "al", "lo",
+           "como", "más", "pero", "sus", "le", "ya", "o", "este", "sí",
+           "porque", "esta", "entre", "cuando", "muy", "sin", "sobre",
+           "también", "me", "hasta", "hay", "donde"],
+    "it": ["il", "la", "gli", "e", "è", "un", "una", "di", "che", "per",
+           "non", "in", "si", "con", "su", "del", "della", "dei", "delle",
+           "al", "alla", "da", "nel", "nella", "ma", "se", "come", "anche",
+           "più", "questo", "questa", "sono", "ha", "hanno", "io", "noi",
+           "loro", "molto", "quando", "dove"],
+    "pt": ["o", "a", "os", "as", "e", "é", "um", "uma", "de", "do", "da",
+           "dos", "das", "em", "que", "não", "se", "por", "com", "para",
+           "no", "na", "nos", "nas", "ao", "à", "como", "mais", "mas",
+           "seu", "sua", "ou", "quando", "muito", "já", "também", "só",
+           "pelo", "pela", "isso"],
+    "nl": ["de", "het", "een", "en", "is", "niet", "van", "in", "op",
+           "dat", "die", "te", "met", "voor", "zijn", "er", "maar", "om",
+           "aan", "als", "bij", "ook", "naar", "dan", "wat", "uit", "nog",
+           "over", "door", "hij", "zij", "wij", "je", "ik", "dit", "deze",
+           "heeft", "worden", "kan", "geen"],
+    "sv": ["och", "att", "det", "som", "en", "ett", "är", "av", "för",
+           "på", "med", "den", "till", "inte", "om", "har", "de", "i",
+           "du", "jag", "vi", "han", "hon", "men", "så", "kan", "när",
+           "vad", "eller", "från", "ut", "vara", "sig", "efter", "upp",
+           "alla", "vid", "mycket", "nu", "över"],
+    "pl": ["i", "w", "na", "z", "do", "nie", "że", "to", "się", "jest",
+           "jak", "po", "co", "tak", "za", "od", "ale", "czy", "przez",
+           "już", "być", "może", "tylko", "bardzo", "kiedy", "gdzie",
+           "dla", "przy", "bez", "pod", "nad", "ten", "ta", "te", "jego",
+           "jej", "ich", "my", "wy", "oni"],
+    "tr": ["ve", "bir", "bu", "da", "de", "için", "ile", "ne", "gibi",
+           "daha", "çok", "ama", "en", "o", "ben", "sen", "biz", "siz",
+           "onlar", "var", "yok", "olarak", "sonra", "kadar", "her",
+           "şey", "mi", "mu", "ki", "ya", "ancak", "çünkü", "nasıl",
+           "neden", "şu", "böyle", "olan", "iki", "on", "bunu"],
+    "ro": ["și", "în", "de", "la", "cu", "pe", "un", "o", "este", "nu",
+           "se", "ce", "că", "mai", "din", "pentru", "dar", "sau", "când",
+           "cum", "după", "fără", "sunt", "al", "ale", "lui", "ei", "noi",
+           "voi", "acest", "această", "fost", "fi", "are", "avea", "doar",
+           "între", "până", "unde", "toate"],
+    "id": ["yang", "dan", "di", "ke", "dari", "untuk", "pada", "dengan",
+           "ini", "itu", "tidak", "ada", "akan", "juga", "saya", "kamu",
+           "dia", "kami", "mereka", "bisa", "sudah", "belum", "atau",
+           "karena", "jika", "seperti", "dalam", "oleh", "sebagai",
+           "lebih", "harus", "banyak", "hanya", "telah", "masih", "saat",
+           "tahun", "orang", "satu", "dua"],
 }
 
 # BPE-ish token regex: word pieces, numbers, or single non-space symbols —

@@ -13,7 +13,7 @@ of the vocabulary the reference emits (/root/reference/src/generate_profile.py:2
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .operators.agg import topk_group_count
@@ -254,23 +254,96 @@ def profile_to_triples(profile_df: DataFrame,
     return out
 
 
+# per-feature caps, mirroring each feature function's default limit
+_PROFILE_FEATURES = ["voc", "curi", "puri", "lab", "tlds", "sparql",
+                     "creator", "license", "title", "dsc", "sbj", "con"]
+_PROFILE_LIMITS = {"voc": 1000, "curi": 1000, "puri": 1000, "lab": 1000,
+                   "tlds": 1000, "sparql": 2, "creator": 5, "license": 1,
+                   "title": 1, "dsc": 100, "sbj": 100, "con": 1000}
+
+
+def _feature_rows(t: DataFrame) -> DataFrame:
+    """(feat, val) rows for every profile feature — ONE pass over the
+    triples table for the ten scan-only features (each row emits its
+    feature memberships via a compacted when-array explode), plus the two
+    semi-join features (lab: typed subjects; sbj: void datasets) as
+    unioned branches sharing the same scan subtree."""
+    tags = []
+
+    def tag(cond, feat, val):
+        tags.append(F.when(cond, F.struct(F.lit(feat).alias("feat"),
+                                          val.alias("val"))))
+
+    is_type = F.col("pred").isin(RDF_TYPE)
+    tag(is_type, "curi", F.col("obj"))
+    tag(~is_type, "puri", F.col("pred"))
+    tag(F.col("pred").startswith("http://") | F.col("pred").contains(":"),
+        "voc", namespace_of(F.col("pred")))
+    tld = tld_of(F.col("obj"))
+    tag(F.col("obj_is_iri") & F.col("obj").startswith("http")
+        & (F.length(tld) > 1) & (F.length(tld) <= 10), "tlds", tld)
+    for preds, feat in [(VOID_SPARQL, "sparql"), (DCT_CREATOR, "creator"),
+                        (DCT_LICENSE, "license"), (DCT_TITLE, "title"),
+                        (DCT_DESCRIPTION, "dsc"), (OWL_SAMEAS, "con")]:
+        tag(F.col("pred").isin(preds), feat, F.col("obj"))
+    arr = F.filter(F.array(*tags), lambda x: x.isNotNull())
+    scan = t.select(F.explode(arr).alias("fv")).select("fv.feat", "fv.val")
+
+    typed = t.filter(is_type).select("subj").distinct()
+    lab_rows = (
+        t.filter(F.col("pred").isin(LABEL_PREDICATES) & ~F.col("obj_is_iri"))
+        .join(typed, "subj", "left_semi")
+        .select(F.lit("lab").alias("feat"), F.col("obj").alias("val"))
+    )
+    ds = (
+        t.filter(is_type & F.col("obj").isin(VOID_DATASET))
+        .select("subj").distinct().orderBy("subj").limit(100)
+    )
+    sbj_rows = (
+        t.filter(F.col("pred").isin(DCT_SUBJECT))
+        .join(F.broadcast(ds), "subj", "left_semi")
+        .select(F.lit("sbj").alias("feat"), F.col("obj").alias("val"))
+    )
+    return scan.unionByName(lab_rows).unionByName(sbj_rows)
+
+
 def build_profile(t: DataFrame, profile_id: str = "graph") -> DataFrame:
     """Assemble the one-row profile record (keys mirror
     /root/reference/src/dataset_preparation.py:415-431): each feature list
-    is a sorted array column. Executed as one job per feature over the
-    pred-partitioned triples table (partition pruning per query)."""
-    feats = {
-        "voc": vocabularies(t), "curi": class_histogram(t).select("curi"),
-        "puri": property_histogram(t).select("puri"), "lab": labels(t),
-        "tlds": tlds(t), "sparql": endpoints(t), "creator": creators(t),
-        "license": licenses(t), "title": titles(t), "dsc": descriptions(t),
-        "sbj": void_subjects(t), "con": connections(t),
-    }
-    row = None
-    for name, df in feats.items():
-        col = df.columns[0]
-        agg = df.agg(F.array_sort(F.collect_list(col)).alias(name))
-        row = agg if row is None else row.crossJoin(agg)
+    is a sorted array column.
+
+    Executed as ONE action over ONE main scan of the triples table
+    (r1-r2 ran 12 independent feature subtrees — 12 scans/jobs per graph):
+    every row's feature memberships explode from a single when-array, one
+    (feat, val) count aggregate dedups and counts, one per-feat window
+    applies each feature's cap (count-ranked for curi/puri, value-ranked
+    for the rest — identical membership to topk_group_count / the
+    distinct-orderBy-limit chains), and one pivot folds the capped rows
+    into the single profile row. Output is bit-identical to the per-feature
+    functions (regression-tested)."""
+    rows = _feature_rows(t)
+    counted = rows.groupBy("feat", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("feat").orderBy(
+        F.when(F.col("feat").isin("curi", "puri"), -F.col("cnt"))
+        .otherwise(F.lit(0)).asc(),
+        F.col("val").asc(),
+    )
+    cap = F.lit(1000)
+    for feat, k in _PROFILE_LIMITS.items():
+        if k != 1000:
+            cap = F.when(F.col("feat") == feat, F.lit(k)).otherwise(cap)
+    capped = (
+        counted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+    )
+    row = (
+        capped.groupBy()
+        .pivot("feat", _PROFILE_FEATURES)
+        .agg(F.array_sort(F.collect_list("val")))
+    )
+    empty = F.array().cast("array<string>")
+    for feat in _PROFILE_FEATURES:
+        row = row.withColumn(feat, F.coalesce(F.col(feat), empty))
     # Q9 fallback chain: title → endpoint → "" (/root/reference/src/dataset_preparation.py:405)
     row = row.withColumn(
         "title",
@@ -281,5 +354,5 @@ def build_profile(t: DataFrame, profile_id: str = "graph") -> DataFrame:
         ),
     )
     return row.select(F.lit(profile_id).alias("id"), "title", *[
-        c for c in feats if c != "title"
+        c for c in _PROFILE_FEATURES if c != "title"
     ])

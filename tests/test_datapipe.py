@@ -563,3 +563,26 @@ def test_ivf_centers_sidecar_roundtrip(spark, tmp_path):
     path = str(tmp_path / "ivf_rt")
     similarity.ivf_write(assigned, path, centers)
     assert similarity.ivf_read_centers(spark, path) == centers
+
+
+def test_detect_language_multilingual_accuracy(spark):
+    """Seeded multilingual corpus: 12 languages x 8 sentences sampled from
+    each language's own stopword inventory (+ neutral filler). The scorer
+    must id every sentence correctly and return 'und' on symbol noise."""
+    import random
+
+    rnd = random.Random(42)
+    rows = []
+    for lang, words in sorted(textstats.STOPWORDS.items()):
+        for i in range(8):
+            sent = rnd.sample(words, 12) + [f"zkq{i}", "foo9"]
+            rnd.shuffle(sent)
+            rows.append((lang, " ".join(sent)))
+    rows.append(("und", "@@@ ### 12345 :::"))
+    rows.append(("und", ""))
+    df = spark.createDataFrame(rows, ["expected", "text"])
+    got = textstats.detect_language(df).collect()
+    wrong = [(r["expected"], r["lang_pred"]) for r in got
+             if r["lang_pred"] != r["expected"]]
+    acc = 1 - len(wrong) / len(got)
+    assert acc >= 0.95, f"accuracy {acc}: {wrong[:10]}"
