@@ -1026,6 +1026,99 @@ def ann_ivf_pruned(spark, sf):
     )
 
 
+def mm_image_features(spark, sf):
+    """Multimodal REAL-decoder oracle row: synthesize deterministic PPM P6
+    payloads from event ids (pixel (y,x,c) = (id*7 + y*11 + x*13 + c*17)
+    mod 256), decode them with the actual Netpbm decoder
+    (kgsum_spark.datapipe.multimodal.decode_image_real — real raster
+    parse + per-channel pixel means), and emit the features. The DuckDB
+    oracle computes the SAME means analytically from the generator
+    formula, so a decoder bug (offset, row order, channel swap) breaks the
+    hash. Means are exact: integer sums < 2^53 in both engines."""
+    from kgsum_spark.datapipe import multimodal as mm
+
+    ids = _t(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("media_id")
+    ).filter(F.col("media_id") < 200)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                y, x, c = np.meshgrid(np.arange(h), np.arange(w),
+                                      np.arange(3), indexing="ij")
+                px = ((mid * 7 + y * 11 + x * 13 + c * 17) % 256).astype("uint8")
+                rows.append((mid, "image", mm._encode_ppm(px),
+                             "image/x-portable-pixmap", {}))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "content", "mime", "meta"])
+
+    media = ids.mapInPandas(gen, mm.MEDIA_SCHEMA)
+    out = mm.decode_image_real(media)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("mean_r").cast("double").alias("mean_r"),
+        F.col("mean_g").cast("double").alias("mean_g"),
+        F.col("mean_b").cast("double").alias("mean_b"),
+    ).orderBy("media_id")
+
+
+def mm_audio_features(spark, sf):
+    """Multimodal audio oracle row: deterministic 16-bit PCM WAV payloads
+    (sample[i] = ((id*31 + i*7) mod 2001) - 1000, mono, 8 kHz, 500 + id%300
+    samples) decoded by the REAL stdlib-wave decoder
+    (multimodal.extract_audio_features_real); DuckDB recomputes the RMS
+    analytically. Integer squares sum exactly in both engines; sqrt and
+    the duration division are single IEEE-correctly-rounded ops."""
+    from kgsum_spark.datapipe import multimodal as mm
+
+    ids = _t(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("media_id")
+    ).filter(F.col("media_id") < 200)
+
+    def gen(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 500 + mid % 300
+                sig = ((mid * 31 + np.arange(n) * 7) % 2001 - 1000).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(sig.tobytes())
+                rows.append((mid, "audio", buf.getvalue(), "audio/wav", {}))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "content", "mime", "meta"])
+
+    media = ids.mapInPandas(gen, mm.MEDIA_SCHEMA)
+    out = mm.extract_audio_features_real(media)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("channels").cast("int").alias("channels"),
+        F.col("rms").cast("double").alias("rms"),
+        F.col("duration_sec").cast("double").alias("duration_sec"),
+    ).orderBy("media_id")
+
+
 # --- full-pipeline + verified near-dup entries (all oracled as of r2) -----
 
 def _events_as_transcripts_linked(events: DataFrame) -> DataFrame:
@@ -1232,6 +1325,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c6_hybrid_tokenizer": c6_hybrid_tokenizer,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_pruned": ann_ivf_pruned,
+        "mm_image_features": mm_image_features,
+        "mm_audio_features": mm_audio_features,
         "dedup_ngram_prefix": dedup_ngram_prefix,
         "j8_asof_join": j8_asof_join,
         "j9_range_join": j9_range_join,
@@ -2041,6 +2136,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings, q WHERE vec_id <> 0
             )
             SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "mm_image_features": """
+            WITH ids AS (
+                SELECT CAST(event_id AS BIGINT) AS media_id FROM events
+                WHERE event_id < 200
+            ), dims AS (
+                SELECT media_id, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
+                FROM ids
+            ), px AS (
+                SELECT media_id, w, h, yy.v AS y, xx.v AS x
+                FROM dims,
+                     unnest(generate_series(0, h - 1)) AS yy(v),
+                     unnest(generate_series(0, w - 1)) AS xx(v)
+            )
+            SELECT media_id,
+                   CAST(max(w) AS INT) AS width,
+                   CAST(max(h) AS INT) AS height,
+                   CAST(3 AS INT) AS channels,
+                   avg((media_id*7 + y*11 + x*13) % 256) AS mean_r,
+                   avg((media_id*7 + y*11 + x*13 + 17) % 256) AS mean_g,
+                   avg((media_id*7 + y*11 + x*13 + 34) % 256) AS mean_b
+            FROM px GROUP BY media_id ORDER BY media_id
+        """,
+        "mm_audio_features": """
+            WITH ids AS (
+                SELECT CAST(event_id AS BIGINT) AS media_id FROM events
+                WHERE event_id < 200
+            ), dims AS (
+                SELECT media_id, 500 + media_id % 300 AS n FROM ids
+            ), samples AS (
+                SELECT media_id, n,
+                       (media_id*31 + ii.v*7) % 2001 - 1000 AS s
+                FROM dims, unnest(generate_series(0, n - 1)) AS ii(v)
+            )
+            SELECT media_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(max(n) AS BIGINT) AS n_samples,
+                   CAST(1 AS INT) AS channels,
+                   sqrt(avg(CAST(s*s AS DOUBLE))) AS rms,
+                   CAST(max(n) AS DOUBLE) / 8000 AS duration_sec
+            FROM samples GROUP BY media_id ORDER BY media_id
         """,
         "ann_ivf_pruned": """
             WITH q AS (
