@@ -129,6 +129,70 @@ def turns_per_window(stream: DataFrame, window: str = "5 minutes",
     )
 
 
+def streaming_minhash_signatures(
+    stream: DataFrame, sig_path: str, checkpoint: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, num_perm: int = 64, seed: int = 42,
+):
+    """Streaming NEAR-dup, stage 1: per micro-batch, compute MinHash
+    signatures for the batch's documents and APPEND them to a parquet
+    signature store (exactly-once via the streaming checkpoint; `epoch`
+    records the micro-batch). Signature work is strictly per-doc — no
+    cross-doc join ever runs inside the stream. The expensive pair-space
+    work (LSH banding + exact verify) is deliberately a PERIODIC BATCH job
+    over the accumulated store (`neardup_refresh`), mirroring the batch
+    pipeline's staging: streams append cheap per-row state, cross-row
+    joins run where Spark can shuffle freely. This is the standard
+    lambda-style split for streaming similarity — candidates between two
+    in-flight micro-batches appear at the next refresh, not mid-stream."""
+    from .datapipe.dedup import minhash_signatures
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        sigs = minhash_signatures(batch, id_col, text_col, n, num_perm, seed)
+        sigs.withColumn("epoch", F.lit(epoch_id)) \
+            .write.mode("append").parquet(sig_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def neardup_refresh(
+    spark: SparkSession, sig_path: str, docs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, num_perm: int = 64, bands: int = 32, rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming NEAR-dup, stage 2 (periodic batch refresh): LSH-band the
+    ACCUMULATED signature store (all epochs — pairs spanning micro-batches
+    are first-class), verify candidates with exact n-gram Jaccard against
+    the document store, and return (a, b, jaccard >= threshold). Re-run on
+    a schedule or after N appended epochs; cost is candidate-proportional,
+    and the signature store is num_perm longs per doc (vocabulary-sized).
+    Re-ingested doc ids keep their latest signature (keep-last by epoch)."""
+    from pyspark.sql import Window
+
+    from .datapipe.dedup import (exact_ngram_jaccard_on_pairs,
+                                 minhash_lsh_candidates)
+
+    sigs = spark.read.parquet(sig_path)
+    w = Window.partitionBy("id").orderBy(F.col("epoch").desc())
+    sigs = (
+        sigs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("id", "sig")
+    )
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band, num_perm) \
+        .select("a", "b")
+    return (
+        exact_ngram_jaccard_on_pairs(cand, docs, id_col, text_col, n)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def dedup_stream(stream: DataFrame, key_cols: list[str],
                  ts_col: str = "ts", watermark: str = "10 minutes") -> DataFrame:
     """Streaming deduplication with bounded state:

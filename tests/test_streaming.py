@@ -153,3 +153,74 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out).select("conv_id", "turn_idx").collect()
     keys = sorted((r["conv_id"], r["turn_idx"]) for r in got)
     assert keys == [("c1", 0), ("c1", 1), ("c2", 0)]
+
+
+def test_streaming_neardup_pair_spans_micro_batches(spark, tmp_path):
+    """Two near-duplicate documents arrive in DIFFERENT micro-batches
+    (maxFilesPerTrigger=1, one parquet file each). The stream appends only
+    per-doc MinHash signatures; the periodic batch refresh over the
+    accumulated store must surface the cross-batch pair."""
+    from kgsum_spark.streaming import (neardup_refresh,
+                                       streaming_minhash_signatures)
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank every sunny morning in spring")
+    docs_schema = "doc_id long, text string"
+    batch1 = [(1, base), (2, "completely unrelated text about spark "
+                             "query planning and shuffle exchanges here")]
+    batch2 = [(3, base + " time"),  # near-dup of doc 1, later batch
+              (4, "another distinct document mentioning nothing shared")]
+    src = tmp_path / "nd_src"
+    spark.createDataFrame(batch1, docs_schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    spark.createDataFrame(batch2, docs_schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema(docs_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sig_path = str(tmp_path / "nd_sigs")
+    q = streaming_minhash_signatures(
+        stream, sig_path, str(tmp_path / "nd_ckpt"), n=2)
+    q.awaitTermination(120)
+
+    sigs = spark.read.parquet(sig_path)
+    assert sigs.select("epoch").distinct().count() >= 2  # really two batches
+    epoch_of = {r["id"]: r["epoch"] for r in sigs.collect()}
+    assert epoch_of[1] != epoch_of[3]  # the pair spans micro-batches
+
+    docs = spark.read.parquet(str(src))
+    pairs = {(r["a"], r["b"]) for r in
+             neardup_refresh(spark, sig_path, docs, n=2,
+                             threshold=0.5).collect()}
+    assert (1, 3) in pairs
+    assert all(p == (1, 3) for p in pairs)  # no false positives survive
+
+
+def test_streaming_neardup_refresh_keeps_latest_signature(spark, tmp_path):
+    """A re-ingested doc id keeps only its latest-epoch signature."""
+    from kgsum_spark.streaming import (neardup_refresh,
+                                       streaming_minhash_signatures)
+
+    docs_schema = "doc_id long, text string"
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "totally different words now appear in this doc"
+    src = tmp_path / "rk_src"
+    spark.createDataFrame([(1, t1), (2, t1 + " iota")], docs_schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame([(1, t2)], docs_schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema(docs_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sig_path = str(tmp_path / "rk_sigs")
+    q = streaming_minhash_signatures(
+        stream, sig_path, str(tmp_path / "rk_ckpt"), n=2)
+    q.awaitTermination(120)
+
+    # doc 1's latest text (epoch 2) no longer matches doc 2 — keep-last
+    # must drop the stale epoch-1 signature, so no pair survives the
+    # refresh (docs reflects latest text per id, as a doc store would)
+    latest = spark.createDataFrame([(1, t2), (2, t1 + " iota")], docs_schema)
+    pairs = neardup_refresh(spark, sig_path, latest, n=2,
+                            threshold=0.5).collect()
+    assert pairs == []
