@@ -4,8 +4,11 @@ S1 — the reference try-parses files as ttl/xml/nt/trig/n3/nquads with
 rdflib (/root/reference/src/dataset_preparation.py:371-378, formats :19).
 Spark-first: N-Triples/N-Quads are line-oriented → `spark.read.text` +
 one vectorized regex per batch inside mapInPandas (C-speed, splittable,
-100 TB-ready). Turtle/RDF-XML are NOT line-oriented; they parse via rdflib
-per batch when available (import-gated — not shipped in this container).
+100 TB-ready). Turtle, TriG, and RDF/XML are NOT line-oriented; they parse
+per FILE with the built-in rdflib-free parsers (parse_turtle / parse_trig
+/ parse_rdfxml — full Turtle incl. `[...]`/`(...)`, TriG graph blocks,
+the documented RDF/XML subset); n3 and subset-exceeding documents go
+through the import-gated rdflib seam (not shipped in this container).
 
 S2/S3 — CSV/JSON catalog scans are plain `spark.read` with explicit schema.
 S6 — sinks are `df.write.parquet` / Iceberg `writeTo` (pipeline.py).
@@ -118,13 +121,17 @@ def read_rdf_with_rdflib(spark: SparkSession, path: str, fmt: str = "turtle") ->
 
 
 def guess_and_read(spark: SparkSession, path: str) -> DataFrame:
-    """S1 try-parse chain analog: nt/nq native, ttl via the built-in
-    subset parser (rdflib-free), remaining formats via rdflib
+    """S1 try-parse chain analog: nt/nq, ttl, trig, and rdf/xml native
+    (rdflib-free); n3 and subset-exceeding documents via rdflib
     (/root/reference/src/dataset_preparation.py:371-378)."""
     if path.endswith((".nt", ".nq", ".nquads")):
         return read_ntriples(spark, path)
     if path.endswith((".ttl", ".turtle")):
         return read_turtle(spark, path)
+    if path.endswith(".trig"):
+        return read_trig(spark, path)
+    if path.endswith((".rdf", ".xml", ".owl")):
+        return read_rdfxml(spark, path)
     for fmt in ("turtle", "xml", "trig", "n3"):
         try:
             return read_rdf_with_rdflib(spark, path, fmt)
@@ -205,7 +212,7 @@ _TTL_TOKEN = __import__("re").compile(
     | (?P<kw>@prefix|@base|(?i:PREFIX|BASE)(?=[\s<]))
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<dtype>\^\^)
-    | (?P<punct>[;,.\[\]()])
+    | (?P<punct>[;,.\[\](){}])
     | (?P<num>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
       # PN_LOCAL / bnode labels may contain dots but must not END with one
       # (else 'ex:a.' would swallow the statement terminator)
@@ -236,9 +243,27 @@ def _ttl_tokens(text: str):
         yield kind, m.group()
 
 
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
 def parse_turtle(text: str) -> list[tuple]:
-    """Parse a Turtle document (subset) → rows matching TRIPLES_NT_SCHEMA:
-    (s, p, o, o_is_iri, o_lang, o_datatype, g=None)."""
+    """Parse a Turtle document → rows matching TRIPLES_NT_SCHEMA:
+    (s, p, o, o_is_iri, o_lang, o_datatype, g=None). Covers prefixes/base,
+    pnames, lang/datatype literals, `;`/`,` lists, anonymous blank-node
+    property lists `[...]` and RDF collections `(...)` (fresh `_:gb<n>`
+    labels, rdf:first/rest/nil encoding per the W3C Turtle grammar)."""
+    return _parse_ttl_family(text, allow_graphs=False)
+
+
+def parse_trig(text: str) -> list[tuple]:
+    """Parse a TriG document (Turtle + graph blocks): `{...}` (default
+    graph), `<g> {...}` / `pname {...}` / `GRAPH <g> {...}` — the g column
+    carries the graph IRI (None for the default graph). Everything Turtle
+    supports is legal inside a block and at the top level."""
+    return _parse_ttl_family(text, allow_graphs=True)
+
+
+def _parse_ttl_family(text: str, allow_graphs: bool) -> list[tuple]:
     import re
 
     prefixes: dict[str, str] = {}
@@ -246,6 +271,12 @@ def parse_turtle(text: str) -> list[tuple]:
     toks = list(_ttl_tokens(text))
     i = 0
     rows: list[tuple] = []
+    graph: list[str | None] = [None]   # current graph IRI (TriG blocks)
+    bn_counter = [0]
+
+    def fresh_bnode() -> str:
+        bn_counter[0] += 1
+        return f"_:gb{bn_counter[0]}"
 
     def resolve_iri(tok: str) -> str:
         iri = tok[1:-1]
@@ -267,13 +298,21 @@ def parse_turtle(text: str) -> list[tuple]:
             r"\\([ntrbf\\\"'])", lambda m: _ECHAR[m.group(1)], body
         )
 
+    def emit(subj, pred, obj):
+        if obj[0] == "lit":
+            rows.append((subj[1], pred[1], obj[1], False,
+                         obj[2], obj[3], graph[0]))
+        else:
+            rows.append((subj[1], pred[1], obj[1], obj[0] == "iri",
+                         None, None, graph[0]))
+
     def term(j: int, as_subject: bool = False):
         kind, tok = toks[j]
         if kind == "iri":
             return ("iri", resolve_iri(tok)), j + 1
         if kind == "pname":
             if tok == "a" and not as_subject:
-                return ("iri", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"), j + 1
+                return ("iri", _RDF_NS + "type"), j + 1
             if tok in ("true", "false"):
                 return ("lit", tok, None, _XSD + "boolean"), j + 1
             return (("bnode", tok) if tok.startswith("_:")
@@ -290,18 +329,67 @@ def parse_turtle(text: str) -> list[tuple]:
             dt = ("integer" if re.fullmatch(r"[+-]?\d+", tok)
                   else "double" if "e" in tok.lower() else "decimal")
             return ("lit", tok, None, _XSD + dt), j + 1
-        if kind == "punct" and tok in "[(":
-            raise NotImplementedError(
-                "turtle subset: anonymous blank nodes '[...]' and "
-                "collections '(...)' need rdflib (read_rdf_with_rdflib)"
-            )
+        if kind == "punct" and tok == "[":
+            # anonymous blank-node property list: [ p1 o1 ; p2 o2 ]
+            node = ("bnode", fresh_bnode())
+            j += 1
+            if toks[j] != ("punct", "]"):
+                j = parse_pol(j, node, stop="]")
+            return node, expect_punct(j, "]")
+        if kind == "punct" and tok == "(":
+            # RDF collection → rdf:first/rdf:rest chain, () → rdf:nil
+            j += 1
+            items = []
+            while toks[j] != ("punct", ")"):
+                item, j = term(j)
+                items.append(item)
+            nil = ("iri", _RDF_NS + "nil")
+            if not items:
+                return nil, j + 1
+            nodes = [("bnode", fresh_bnode()) for _ in items]
+            for k, item in enumerate(items):
+                emit(nodes[k], ("iri", _RDF_NS + "first"), item)
+                emit(nodes[k], ("iri", _RDF_NS + "rest"),
+                     nodes[k + 1] if k + 1 < len(items) else nil)
+            return nodes[0], j + 1
         raise ValueError(f"turtle: unexpected token {tok!r}")
+
+    def parse_pol(j: int, subj, stop: str = ".") -> int:
+        """predicateObjectList: p o (, o)* (; p o ...)* — returns the index
+        of the terminating punct (not consumed)."""
+        while True:
+            pred, j = term(j)
+            while True:
+                obj, j = term(j)
+                emit(subj, pred, obj)
+                if j < len(toks) and toks[j] == ("punct", ","):
+                    j += 1
+                    continue
+                break
+            if j < len(toks) and toks[j] == ("punct", ";"):
+                j += 1
+                # trailing ';' before the terminator is legal
+                if j < len(toks) and toks[j] == ("punct", stop):
+                    break
+                continue
+            break
+        return j
 
     def expect_punct(j: int, ch: str) -> int:
         if j >= len(toks) or toks[j] != ("punct", ch):
             got = toks[j][1] if j < len(toks) else "<eof>"
             raise ValueError(f"turtle: expected {ch!r}, got {got!r}")
         return j + 1
+
+    def parse_block(j: int) -> int:
+        """TriG graph block body: { triples* } with graph[0] already set."""
+        j = expect_punct(j, "{")
+        while j < len(toks) and toks[j] != ("punct", "}"):
+            subj, j = term(j, as_subject=True)
+            j = parse_pol(j, subj, stop="}")
+            if j < len(toks) and toks[j] == ("punct", "."):
+                j += 1  # statement '.' is optional before '}' in TriG
+        return expect_punct(j, "}")
 
     while i < len(toks):
         kind, tok = toks[i]
@@ -318,27 +406,26 @@ def parse_turtle(text: str) -> list[tuple]:
             if i < len(toks) and toks[i] == ("punct", "."):
                 i += 1  # @prefix form ends with '.'; SPARQL PREFIX doesn't
             continue
-        subj, i = term(i, as_subject=True)
-        while True:
-            pred, i = term(i)
-            while True:
-                obj, i = term(i)
-                if obj[0] == "lit":
-                    rows.append((subj[1], pred[1], obj[1], False,
-                                 obj[2], obj[3], None))
-                else:
-                    rows.append((subj[1], pred[1], obj[1], obj[0] == "iri",
-                                 None, None, None))
-                if i < len(toks) and toks[i] == ("punct", ","):
-                    i += 1
-                    continue
-                break
-            if i < len(toks) and toks[i] == ("punct", ";"):
-                i += 1
-                if i < len(toks) and toks[i] == ("punct", "."):  # trailing ;
-                    break
+        if allow_graphs:
+            if tok == "{":  # default graph block
+                graph[0] = None
+                i = parse_block(i)
                 continue
-            break
+            if kind == "pname" and tok.lower() == "graph":
+                gterm, i = term(i + 1)
+                graph[0] = gterm[1]
+                i = parse_block(i)
+                graph[0] = None
+                continue
+            if (kind in ("iri", "pname") and i + 1 < len(toks)
+                    and toks[i + 1] == ("punct", "{")):
+                gterm, i = term(i)
+                graph[0] = gterm[1]
+                i = parse_block(i)
+                graph[0] = None
+                continue
+        subj, i = term(i, as_subject=True)
+        i = parse_pol(i, subj, stop=".")
         i = expect_punct(i, ".")
     return rows
 
@@ -353,6 +440,136 @@ def read_turtle(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for doc in pdf["value"]:
                 yield pd.DataFrame(parse_turtle(doc or ""), columns=cols)
+
+    return spark.read.text(path, wholetext=True).mapInPandas(
+        parse, TRIPLES_NT_SCHEMA
+    )
+
+
+def read_trig(spark: SparkSession, path: str) -> DataFrame:
+    """S1 (trig, rdflib-free): per-file parse_trig inside mapInPandas; the
+    g column carries the graph IRI (None = default graph). Same
+    per-file parallelism contract as read_turtle."""
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["s", "p", "o", "o_is_iri", "o_lang", "o_datatype", "g"]
+        for pdf in batches:
+            for doc in pdf["value"]:
+                yield pd.DataFrame(parse_trig(doc or ""), columns=cols)
+
+    return spark.read.text(path, wholetext=True).mapInPandas(
+        parse, TRIPLES_NT_SCHEMA
+    )
+
+
+# --- RDF/XML (stdlib ElementTree subset, r3) -------------------------------
+
+_RDF_TAG = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+_XML_TAG = "{http://www.w3.org/XML/1998/namespace}"
+
+
+def parse_rdfxml(text: str) -> list[tuple]:
+    """Parse an RDF/XML document (subset, stdlib ElementTree — no rdflib)
+    → rows matching TRIPLES_NT_SCHEMA. Covered, per the public W3C RDF/XML
+    grammar: rdf:RDF root (or a bare node element), rdf:Description and
+    typed node elements, rdf:about / rdf:ID / rdf:nodeID subjects,
+    property elements with rdf:resource / rdf:nodeID / nested node
+    elements / literal content, xml:lang (element-local or inherited from
+    the node element), rdf:datatype, rdf:parseType="Resource", rdf:li
+    container items (expanded to rdf:_n). Outside the subset (raises
+    NotImplementedError → route through read_rdf_with_rdflib):
+    parseType="Literal"/"Collection", property attributes, reification."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    rows: list[tuple] = []
+    counter = [0]
+
+    def fresh() -> str:
+        counter[0] += 1
+        return f"_:xb{counter[0]}"
+
+    def expand(tag: str) -> str:
+        if not tag.startswith("{"):
+            raise NotImplementedError(
+                f"rdf/xml subset: unqualified element {tag!r}")
+        return tag[1:].replace("}", "")
+
+    def emit(subj, pred, obj, lang=None, dtype=None):
+        if obj[0] == "lit":
+            rows.append((subj[1], pred, obj[1], False, lang, dtype, None))
+        else:
+            rows.append((subj[1], pred, obj[1], obj[0] == "iri",
+                         None, None, None))
+
+    def subject_of(el):
+        about = el.get(_RDF_TAG + "about")
+        rid = el.get(_RDF_TAG + "ID")
+        nid = el.get(_RDF_TAG + "nodeID")
+        if about is not None:
+            return ("iri", about)
+        if rid is not None:
+            return ("iri", "#" + rid)  # resolved against doc base by caller
+        if nid is not None:
+            return ("bnode", "_:" + nid)
+        return ("bnode", fresh())
+
+    def do_props(subj, el, inherited_lang):
+        li_n = 0
+        for prop in el:
+            ptag = expand(prop.tag)
+            if ptag == _RDF_NS + "li":
+                li_n += 1
+                ptag = _RDF_NS + f"_{li_n}"
+            ptype = prop.get(_RDF_TAG + "parseType")
+            lang = prop.get(_XML_TAG + "lang", inherited_lang)
+            res = prop.get(_RDF_TAG + "resource")
+            nid = prop.get(_RDF_TAG + "nodeID")
+            dtype = prop.get(_RDF_TAG + "datatype")
+            children = list(prop)
+            if ptype == "Resource":
+                b = ("bnode", fresh())
+                emit(subj, ptag, b)
+                do_props(b, prop, lang)
+            elif ptype is not None:
+                raise NotImplementedError(
+                    f"rdf/xml subset: parseType={ptype!r} needs rdflib")
+            elif res is not None:
+                emit(subj, ptag, ("iri", res))
+            elif nid is not None:
+                emit(subj, ptag, ("bnode", "_:" + nid))
+            elif children:
+                obj = do_node(children[0], lang)
+                emit(subj, ptag, obj)
+            else:
+                emit(subj, ptag, ("lit", prop.text or ""),
+                     lang=None if dtype else lang, dtype=dtype)
+
+    def do_node(el, inherited_lang=None):
+        subj = subject_of(el)
+        tag = expand(el.tag)
+        lang = el.get(_XML_TAG + "lang", inherited_lang)
+        if tag != _RDF_NS + "Description":
+            emit(subj, _RDF_NS + "type", ("iri", tag))
+        do_props(subj, el, lang)
+        return subj
+
+    if expand(root.tag) == _RDF_NS + "RDF":
+        lang = root.get(_XML_TAG + "lang")
+        for child in root:
+            do_node(child, lang)
+    else:
+        do_node(root)
+    return rows
+
+
+def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
+    """S1 (rdf/xml, rdflib-free subset): per-file parse_rdfxml inside
+    mapInPandas; same per-file parallelism contract as read_turtle."""
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["s", "p", "o", "o_is_iri", "o_lang", "o_datatype", "g"]
+        for pdf in batches:
+            for doc in pdf["value"]:
+                yield pd.DataFrame(parse_rdfxml(doc or ""), columns=cols)
 
     return spark.read.text(path, wholetext=True).mapInPandas(
         parse, TRIPLES_NT_SCHEMA

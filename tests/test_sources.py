@@ -171,8 +171,142 @@ def test_read_turtle_matches_nt_twin(spark, tmp_path):
     assert t1 == t2 and len(t1) == 3
 
 
-def test_turtle_unsupported_constructs_raise():
-    with pytest.raises(NotImplementedError):
-        sources.parse_turtle("@prefix ex: <http://ex/> .\nex:s ex:p [ ex:q 1 ] .")
+def test_turtle_malformed_raises():
     with pytest.raises(ValueError):
         sources.parse_turtle("undefined:s <http://p> <http://o> .")
+    with pytest.raises(ValueError):
+        sources.parse_turtle("<http://s> <http://p> <http://o> ")  # no dot
+
+
+# --- r3: Turtle [...] / (...) + TriG + RDF/XML ------------------------------
+
+
+def test_turtle_bnode_property_lists():
+    rows = sources.parse_turtle(
+        "@prefix ex: <http://ex/> .\n"
+        'ex:alice ex:knows [ ex:name "Bob" ; ex:age 42 ] .\n'
+        '[ ex:label "anon" ] ex:p ex:q .\n'
+    )
+    got = {(r[0], r[1], r[2]) for r in rows}
+    # the anonymous node links subject and nested properties consistently
+    bn = next(o for s, p, o in got
+              if (s, p) == ("http://ex/alice", "http://ex/knows"))
+    assert (bn, "http://ex/name", "Bob") in got
+    assert (bn, "http://ex/age", "42") in got
+    anon_subj = next(s for s, p, o in got if o == "anon")
+    assert (anon_subj, "http://ex/p", "http://ex/q") in got
+    assert len(rows) == 5
+
+
+def test_turtle_collections():
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = sources.parse_turtle(
+        "@prefix ex: <http://ex/> .\n"
+        'ex:s ex:list ( ex:a "x" ) .\nex:s ex:empty () .\n'
+    )
+    by_sp = {(r[0], r[1]): r[2] for r in rows}
+    head = by_sp[("http://ex/s", "http://ex/list")]
+    assert by_sp[(head, rdf + "first")] == "http://ex/a"
+    nxt = by_sp[(head, rdf + "rest")]
+    assert by_sp[(nxt, rdf + "first")] == "x"
+    assert by_sp[(nxt, rdf + "rest")] == rdf + "nil"
+    assert by_sp[("http://ex/s", "http://ex/empty")] == rdf + "nil"
+
+
+def test_parse_trig_graph_blocks():
+    rows = sources.parse_trig(
+        "@prefix ex: <http://ex/> .\n"
+        "ex:top ex:p ex:q .\n"
+        '{ ex:d ex:in "default" . }\n'
+        "ex:g1 { ex:a ex:b ex:c . }\n"
+        "GRAPH <http://ex/g2> { ex:x ex:y ex:z }\n"
+    )
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r[6], set()).add((r[0], r[1], r[2]))
+    assert ("http://ex/top", "http://ex/p", "http://ex/q") in by_g[None]
+    assert ("http://ex/d", "http://ex/in", "default") in by_g[None]
+    assert by_g["http://ex/g1"] == {("http://ex/a", "http://ex/b", "http://ex/c")}
+    assert by_g["http://ex/g2"] == {("http://ex/x", "http://ex/y", "http://ex/z")}
+
+
+def test_read_trig_matches_nq_twin(spark, tmp_path):
+    trig = tmp_path / "g.trig"
+    trig.write_text(
+        "@prefix ex: <http://ex/> .\n"
+        "ex:g1 { ex:a ex:b ex:c . ex:a ex:l \"lit\" . }\n"
+    )
+    nq = tmp_path / "g.nq"
+    nq.write_text(
+        "<http://ex/a> <http://ex/b> <http://ex/c> <http://ex/g1> .\n"
+        '<http://ex/a> <http://ex/l> "lit" <http://ex/g1> .\n'
+    )
+    cols = ["s", "p", "o", "o_is_iri", "g"]
+    t1 = {tuple(r) for r in sources.guess_and_read(spark, str(trig)).select(*cols).collect()}
+    t2 = {tuple(r) for r in sources.guess_and_read(spark, str(nq)).select(*cols).collect()}
+    assert t1 == t2 and len(t1) == 2
+
+
+RDFXML = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex/" xml:lang="en">
+  <rdf:Description rdf:about="http://ex/alice">
+    <ex:name>Alice</ex:name>
+    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</ex:age>
+    <ex:knows rdf:resource="http://ex/bob"/>
+    <ex:addr rdf:parseType="Resource"><ex:city xml:lang="de">Rom</ex:city></ex:addr>
+    <ex:friend><ex:Person rdf:nodeID="b7"><ex:name>Carol</ex:name></ex:Person></ex:friend>
+  </rdf:Description>
+  <ex:Bag rdf:about="http://ex/bag"><rdf:li>one</rdf:li><rdf:li>two</rdf:li></ex:Bag>
+</rdf:RDF>"""
+
+
+def test_parse_rdfxml_subset():
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = sources.parse_rdfxml(RDFXML)
+    by_sp = {(r[0], r[1]): r for r in rows}
+    name = by_sp[("http://ex/alice", "http://ex/name")]
+    assert name[2] == "Alice" and name[4] == "en"  # inherited xml:lang
+    age = by_sp[("http://ex/alice", "http://ex/age")]
+    assert age[5].endswith("integer") and age[4] is None
+    assert by_sp[("http://ex/alice", "http://ex/knows")][3] is True
+    addr_bn = by_sp[("http://ex/alice", "http://ex/addr")][2]
+    city = by_sp[(addr_bn, "http://ex/city")]
+    assert city[2] == "Rom" and city[4] == "de"
+    assert by_sp[("_:b7", rdf + "type")][2] == "http://ex/Person"
+    assert by_sp[("http://ex/alice", "http://ex/friend")][2] == "_:b7"
+    assert by_sp[("http://ex/bag", rdf + "_1")][2] == "one"
+    assert by_sp[("http://ex/bag", rdf + "_2")][2] == "two"
+
+
+def test_read_rdfxml_matches_nt_twin(spark, tmp_path):
+    xml = tmp_path / "g.rdf"
+    xml.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:ex="http://ex/">\n'
+        '<rdf:Description rdf:about="http://ex/s1">'
+        '<ex:label>Alice</ex:label>'
+        '<ex:p rdf:resource="http://ex/o1"/></rdf:Description>\n'
+        "</rdf:RDF>"
+    )
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        '<http://ex/s1> <http://ex/label> "Alice" .\n'
+        "<http://ex/s1> <http://ex/p> <http://ex/o1> .\n"
+    )
+    cols = ["s", "p", "o", "o_is_iri"]
+    t1 = {tuple(r) for r in sources.guess_and_read(spark, str(xml)).select(*cols).collect()}
+    t2 = {tuple(r) for r in sources.guess_and_read(spark, str(nt)).select(*cols).collect()}
+    assert t1 == t2 and len(t1) == 2
+
+
+def test_rdfxml_out_of_subset_raises():
+    with pytest.raises(NotImplementedError):
+        sources.parse_rdfxml(
+            '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+            ' xmlns:ex="http://ex/">'
+            '<rdf:Description rdf:about="http://ex/s">'
+            '<ex:p rdf:parseType="Literal"><b>x</b></ex:p>'
+            "</rdf:Description></rdf:RDF>"
+        )
