@@ -47,6 +47,7 @@ OPERATOR_QUERIES = [
     "simhash_neardup_docs",
     "ann_cosine_topk",
     "ann_lsh_pairs_embeddings",
+    "ann_ivf_pruned",
     "kg_flagship_histogram",
     "kg_pipeline_triples",
 ]

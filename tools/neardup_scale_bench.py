@@ -12,8 +12,9 @@ instead make every replica pair an exact dup — a quadratic pathological
 corpus that no index can (or should) survive. (A rep token INJECTED between
 words fails for SimHash: it occurs n_words times and dominates the
 fingerprint's bit votes, colliding all same-rep docs — measured before the
-per-word suffix.) Embeddings are decorrelated by rotating the vector by
-rep positions.
+per-word suffix.) Embeddings are decorrelated by per-rep random sign-flip
+masks (a diagonal orthogonal transform — exact intra-rep geometry, random
+cross-rep mixing; cyclic rotation left structured vectors correlated).
 
 Prints one JSON line per (scale, query): wall seconds + output pair count,
 so candidate-proportionality is checkable (pairs and wall ~R, not R^2).
@@ -49,18 +50,31 @@ def replicate_docs(d, r):
     )
 
 
-def replicate_vecs(e, r):
+def replicate_vecs(e, r, spark):
+    import numpy as np
+
     rep = F.explode(F.sequence(F.lit(0), F.lit(r - 1))).alias("rep")
     dim = len(e.select("embedding").first()["embedding"])
-    # rotate by rep positions: same intra-replica geometry, decorrelated
-    # across replicas
-    rot = F.concat(
-        F.slice("embedding", F.col("rep") % dim + 1, dim),
-        F.slice("embedding", 1, F.col("rep") % dim),
-    )
-    return e.select("vec_id", "embedding", rep).select(
-        (F.col("vec_id") + F.col("rep").cast("long") * 10_000_000).alias("vec_id"),
-        rot.alias("embedding"),
+    # per-rep random +-1 sign masks: a diagonal orthogonal transform, so
+    # intra-rep cosine geometry is EXACTLY preserved while cross-rep
+    # cosines mix random signs -> decorrelated. (A cyclic rotation is NOT
+    # enough: structured/clustered vectors stay autocorrelated under
+    # shifts — measured 5096 pairs at 10x vs the expected ~390 before this
+    # fix, with a 47x wall blow-up from genuine cross-rep candidates.)
+    rnd = np.random.RandomState(7)
+    masks = [[1.0] * dim] + [
+        (rnd.randint(0, 2, dim) * 2.0 - 1.0).tolist() for _ in range(r - 1)
+    ]
+    mask_df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(masks)], "rep int, mask array<double>")
+    flipped = F.zip_with("embedding", "mask", lambda x, y: x * y)
+    return (
+        e.select("vec_id", "embedding", rep)
+        .join(F.broadcast(mask_df), "rep")
+        .select(
+            (F.col("vec_id") + F.col("rep").cast("long") * 10_000_000).alias("vec_id"),
+            flipped.alias("embedding"),
+        )
     )
 
 
@@ -96,7 +110,8 @@ def main() -> None:
 
     for scale, rr in (("1x", 1), (f"{r10}x", r10)):
         docs = replicate_docs(d, rr) if rr > 1 else d.select("doc_id", "text")
-        vecs = replicate_vecs(e, rr) if rr > 1 else e.select("vec_id", "embedding")
+        vecs = (replicate_vecs(e, rr, spark) if rr > 1
+                else e.select("vec_id", "embedding"))
         dpath, vpath = f"/tmp/nds_docs_{rr}", f"/tmp/nds_vecs_{rr}"
         docs.repartition(cpus).write.mode("overwrite").parquet(dpath)
         vecs.repartition(cpus).write.mode("overwrite").parquet(vpath)
