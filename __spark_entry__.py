@@ -332,6 +332,34 @@ def tpch_q1_cents(spark, sf):
     )
 
 
+def tpch_q3_cents(spark, sf):
+    """TPC-H Q3 shape (shipping-priority): customer ⋈ orders ⋈ lineitem,
+    filter both sides of the date, group by order, top-10 by revenue.
+    Calibrates the 3-way join path: customer (small) broadcasts; the
+    orders⋈lineitem equi-join shuffles on the key; revenue in integer
+    cents so the hash is order-independent."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_cents).cast("bigint").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            "revenue_cents",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
 def dedup_exact_docs(spark, sf):
     d = _t(spark, sf, "documents")
     out = dd.exact_duplicates(d, "doc_id", "text")
@@ -1285,6 +1313,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c_string_chain": c_string_chain,
         "c10_props_parse": c10_props_parse,
         "tpch_q1_cents": tpch_q1_cents,
+        "tpch_q3_cents": tpch_q3_cents,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "text_quality_metrics": text_quality_metrics,
@@ -1950,6 +1979,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1 ORDER BY event_type
+        """,
+        "tpch_q3_cents": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
         """,
         "tpch_q1_cents": """
             SELECT l_returnflag, l_linestatus,

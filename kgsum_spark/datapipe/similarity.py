@@ -133,7 +133,15 @@ def multi_lsh_candidates(
     One mapInPandas pass computes every table's bucket (a single n×(k·L)
     BLAS matmul per Arrow batch) — the corpus is scanned once, not L times.
     The bucket self-join shuffles (table, bucket)-keyed rows; distinct
-    dedups pairs found by several tables before any expensive verify."""
+    dedups pairs found by several tables before any expensive verify.
+
+    SCALE RULE — n_planes must grow with the corpus: a table has 2^k
+    buckets, so with k fixed the bucket self-join degrades O(n²/2^k) as n
+    grows. Hold per-bucket occupancy roughly constant (k ≈ k0 + log2(n/n0))
+    and raise n_tables to hold recall (P(candidate|cosθ) =
+    1-(1-(1-θ/π)^k)^L). Measured at 10x corpus (BENCH/BASELINE.md r3):
+    defaults 4×48 took 218s; occupancy-restoring 8×96 returned 98% of the
+    verified pairs in 69s."""
     import numpy as np
     from collections.abc import Iterator
     import pandas as pd
