@@ -51,3 +51,80 @@ def test_turtle_prefixed_statements(pairs):
         assert row[0] == f"http://ex/{s}"
         assert row[2] == f"http://ex/{o}"
         assert row[3] is True
+
+
+# --- r3: TriG / RDF-XML / collections -------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(
+    st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True),
+    st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True),
+), min_size=1, max_size=12),
+    st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True))
+def test_trig_named_graph_statements(pairs, gname):
+    """Every triple inside a named block carries exactly that graph IRI."""
+    from kgsum_spark.sources import parse_trig
+
+    body = " ".join(f"ex:{s} ex:p ex:{o} ." for s, o in pairs)
+    doc = f"@prefix ex: <http://ex/> .\nex:{gname} {{ {body} }}"
+    rows = parse_trig(doc)
+    assert len(rows) == len(pairs)
+    assert all(r[6] == f"http://ex/{gname}" for r in rows)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True),
+                min_size=0, max_size=8))
+def test_turtle_collection_walk(items):
+    """Any collection parses to a well-formed rdf:first/rest chain that
+    walks back to the original item sequence."""
+    from kgsum_spark.sources import parse_turtle
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    doc = ("@prefix ex: <http://ex/> .\n"
+           "ex:s ex:list ( " + " ".join(f"ex:{w}" for w in items) + " ) .")
+    rows = parse_turtle(doc)
+    by_sp = {(r[0], r[1]): r[2] for r in rows}
+    node = by_sp[("http://ex/s", "http://ex/list")]
+    walked = []
+    while node != rdf + "nil":
+        walked.append(by_sp[(node, rdf + "first")])
+        node = by_sp[(node, rdf + "rest")]
+    assert walked == [f"http://ex/{w}" for w in items]
+
+
+# XML 1.0 cannot carry most control chars AT ALL (even escaped), and
+# parsers normalize \r per the line-end rules — restrict to representable
+# text (this is a property of the FORMAT, not the parser).
+xml_literals = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),
+        blacklist_characters="".join(
+            chr(c) for c in range(0x20) if c not in (0x09, 0x0A)
+        ) + "\x0b\x0c",
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(xml_literals)
+def test_rdfxml_literal_roundtrip(lit):
+    """Arbitrary XML-representable literal content survives the
+    encode→parse trip."""
+    from xml.sax.saxutils import escape
+
+    from kgsum_spark.sources import parse_rdfxml
+
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:ex="http://ex/">'
+        '<rdf:Description rdf:about="http://ex/s">'
+        f"<ex:p>{escape(lit)}</ex:p>"
+        "</rdf:Description></rdf:RDF>"
+    )
+    rows = parse_rdfxml(doc)
+    assert len(rows) == 1
+    assert rows[0][2] == (lit or "")
+    assert rows[0][3] is False
