@@ -108,9 +108,24 @@ Raw JSON:
 {json.dumps(hi)}
 ```
 """
+    # Replace ONLY the scaling section: everything this script generates
+    # ends at the raw-JSON fence; later sections (IVF recall, salted-join
+    # parity, 10x near-dup, NT throughput, trend tables) are hand-written
+    # and MUST survive a re-run. The scaling block is delimited by the
+    # header line and the first '## ' heading after the raw-JSON fence.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        fence_end = old.find("```", old.find("Raw JSON:"))
+        if fence_end != -1:
+            fence_end = old.find("```", fence_end + 3)
+            nxt = old.find("\n## ", fence_end) if fence_end != -1 else -1
+            if nxt != -1:
+                tail = old[nxt:]
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(json.dumps({"low": lo["turns_per_sec"], "high": hi["turns_per_sec"],
                       "efficiency": round(eff, 3)}))
 
