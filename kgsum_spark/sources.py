@@ -132,14 +132,49 @@ def guess_and_read(spark: SparkSession, path: str) -> DataFrame:
         return read_trig(spark, path)
     if path.endswith((".rdf", ".xml", ".owl")):
         return read_rdfxml(spark, path)
-    for fmt in ("turtle", "xml", "trig", "n3"):
-        try:
-            return read_rdf_with_rdflib(spark, path, fmt)
-        except NotImplementedError:
-            raise
-        except Exception:  # noqa: BLE001 — try next format, like the reference
-            continue
-    raise ValueError(f"no RDF format parsed {path}")
+    if path.endswith(".n3"):
+        return read_rdf_with_rdflib(spark, path, "n3")
+    return sniff_and_read(spark, path)
+
+
+def sniff_format(sample: str) -> str:
+    """Guess an RDF serialization from document head text (the reference
+    try-parses formats in a fixed order; we sniff instead — one cheap
+    driver-side read beats running a distributed parse per candidate).
+    Returns one of: 'xml', 'trig', 'turtle', 'nt'."""
+    import re
+
+    head = sample.lstrip()
+    body = re.sub(r"#[^\n]*", "", sample)  # strip comments before sniffing
+    # NT first: '<http://...>' would otherwise look like an XML open tag
+    lines = [ln for ln in body.splitlines() if ln.strip()]
+    if lines:
+        nt_like = sum(bool(re.match(NT_LINE, ln)) for ln in lines[:50])
+        if nt_like >= max(1, len(lines[:50]) // 2):
+            return "nt"
+    if head.startswith("<?xml") or head.startswith("<rdf:RDF") \
+            or re.match(r"<[A-Za-z_][\w.-]*(:[A-Za-z_])?[^>]*\bxmlns", head):
+        return "xml"
+    if re.search(r"(?m)(^|\s)GRAPH\s|\{", body):
+        return "trig"
+    return "turtle"  # Turtle is the NT superset among our native parsers
+
+
+def sniff_and_read(spark: SparkSession, path: str) -> DataFrame:
+    """S1 for extensionless/unknown paths: sniff the first file's head
+    (driver-side, first 8 KB) and dispatch to the matching native reader.
+    The reference's analog parses the whole file once per candidate format
+    (/root/reference/src/dataset_preparation.py:371-378)."""
+    sample = "\n".join(
+        r["value"] for r in spark.read.text(path).limit(60).collect()
+    )[:8192]
+    fmt = sniff_format(sample)
+    return {
+        "nt": read_ntriples,
+        "turtle": read_turtle,
+        "trig": read_trig,
+        "xml": read_rdfxml,
+    }[fmt](spark, path)
 
 
 def read_catalog_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:

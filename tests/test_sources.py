@@ -310,3 +310,32 @@ def test_rdfxml_out_of_subset_raises():
             '<ex:p rdf:parseType="Literal"><b>x</b></ex:p>'
             "</rdf:Description></rdf:RDF>"
         )
+
+
+def test_sniff_format():
+    assert sources.sniff_format('<?xml version="1.0"?><rdf:RDF>') == "xml"
+    assert sources.sniff_format("@prefix ex: <http://e/> .\nex:a ex:b ex:c .") == "turtle"
+    assert sources.sniff_format("PREFIX ex: <http://e/>\nex:a ex:b ex:c .") == "turtle"
+    assert sources.sniff_format(
+        "@prefix ex: <http://e/> .\nex:g { ex:a ex:b ex:c . }") == "trig"
+    assert sources.sniff_format(
+        "<http://s> <http://p> <http://o> .\n<http://s> <http://p> \"x\" .") == "nt"
+
+
+def test_sniff_and_read_extensionless(spark, tmp_path):
+    """A .txt (unknown-extension) Turtle document routes through the
+    sniffer to the native parser."""
+    p = tmp_path / "mystery.txt"
+    p.write_text("@prefix ex: <http://ex/> .\nex:a ex:b ex:c .\n")
+    got = sources.guess_and_read(spark, str(p)).collect()
+    assert len(got) == 1 and got[0]["o"] == "http://ex/c"
+    x = tmp_path / "mystery2.txt"
+    x.write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:ex="http://ex/">'
+        '<rdf:Description rdf:about="http://ex/s"><ex:p>v</ex:p>'
+        "</rdf:Description></rdf:RDF>\n"
+    )
+    got = sources.guess_and_read(spark, str(x)).collect()
+    assert len(got) == 1 and got[0]["o"] == "v"
