@@ -1099,6 +1099,80 @@ def mm_image_features(spark, sf):
     ).orderBy("media_id")
 
 
+def s1_turtle_roundtrip(spark, sf):
+    """S1 Turtle parser under the driver gate: synthesize a Turtle
+    document from events (pname subjects, a `;` predicate-object list, a
+    quoted literal and an IRI object — real grammar, not NT-in-ttl),
+    write it as ONE text file, parse with sources.read_turtle, and emit
+    the triples. DuckDB reconstructs the same triples analytically."""
+    import os
+
+    from kgsum_spark.sources import read_turtle
+
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 300)
+    header = spark.range(1).select(
+        F.lit(-1).cast("long").alias("k"),
+        F.lit("@prefix ex: <http://ex/> .").alias("value"),
+    )
+    lines = e.select(
+        F.col("event_id").cast("long").alias("k"),
+        F.concat(
+            F.lit("ex:e"), F.col("event_id").cast("string"),
+            F.lit(' ex:t "'), F.col("event_type"),
+            F.lit('" ; ex:u <http://u/'), F.col("user_id").cast("string"),
+            F.lit("> ."),
+        ).alias("value"),
+    )
+    path = f"/tmp/kgsum_s1_ttl_{os.path.basename(sf.rstrip('/'))}"
+    header.unionByName(lines).coalesce(1).sortWithinPartitions("k") \
+        .select("value").write.mode("overwrite").text(path)
+    t = read_turtle(spark, path)
+    return t.select(
+        F.col("s"), F.col("p"), F.col("o"), F.col("o_is_iri")
+    ).orderBy("s", "p", "o")
+
+
+def s1_rdfxml_roundtrip(spark, sf):
+    """S1 RDF/XML parser under the driver gate: synthesize an RDF/XML
+    document from events (typed property elements: one literal with
+    rdf:datatype, one rdf:resource link), parse with sources.read_rdfxml,
+    emit the triples; DuckDB reconstructs them analytically."""
+    import os
+
+    from kgsum_spark.sources import read_rdfxml
+
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 300)
+    mx = 300
+    header = spark.range(1).select(
+        F.lit(-1).cast("long").alias("k"),
+        F.lit('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+              ' xmlns:ex="http://ex/">').alias("value"),
+    )
+    footer = spark.range(1).select(
+        F.lit(mx + 1).cast("long").alias("k"),
+        F.lit("</rdf:RDF>").alias("value"),
+    )
+    rows = e.select(
+        F.col("event_id").cast("long").alias("k"),
+        F.concat(
+            F.lit('<rdf:Description rdf:about="http://ex/e'),
+            F.col("event_id").cast("string"), F.lit('"><ex:t>'),
+            F.col("event_type"),
+            F.lit('</ex:t><ex:u rdf:resource="http://u/'),
+            F.col("user_id").cast("string"),
+            F.lit('"/></rdf:Description>'),
+        ).alias("value"),
+    )
+    path = f"/tmp/kgsum_s1_xml_{os.path.basename(sf.rstrip('/'))}"
+    header.unionByName(rows).unionByName(footer).coalesce(1) \
+        .sortWithinPartitions("k").select("value") \
+        .write.mode("overwrite").text(path)
+    t = read_rdfxml(spark, path)
+    return t.select(
+        F.col("s"), F.col("p"), F.col("o"), F.col("o_is_iri")
+    ).orderBy("s", "p", "o")
+
+
 def mm_audio_features(spark, sf):
     """Multimodal audio oracle row: deterministic 16-bit PCM WAV payloads
     (sample[i] = ((id*31 + i*7) mod 2001) - 1000, mono, 8 kHz, 500 + id%300
@@ -1356,6 +1430,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pruned": ann_ivf_pruned,
         "mm_image_features": mm_image_features,
         "mm_audio_features": mm_audio_features,
+        "s1_turtle_roundtrip": s1_turtle_roundtrip,
+        "s1_rdfxml_roundtrip": s1_rdfxml_roundtrip,
         "dedup_ngram_prefix": dedup_ngram_prefix,
         "j8_asof_join": j8_asof_join,
         "j9_range_join": j9_range_join,
@@ -2201,6 +2277,34 @@ def oracle_sql() -> dict[str, str]:
                    avg((media_id*7 + y*11 + x*13 + 17) % 256) AS mean_g,
                    avg((media_id*7 + y*11 + x*13 + 34) % 256) AS mean_b
             FROM px GROUP BY media_id ORDER BY media_id
+        """,
+        "s1_turtle_roundtrip": """
+            WITH ids AS (
+                SELECT CAST(event_id AS BIGINT) AS k, event_type,
+                       CAST(user_id AS VARCHAR) AS u
+                FROM events WHERE event_id < 300
+            )
+            SELECT s, p, o, o_is_iri FROM (
+                SELECT 'http://ex/e' || k AS s, 'http://ex/t' AS p,
+                       event_type AS o, FALSE AS o_is_iri FROM ids
+                UNION ALL
+                SELECT 'http://ex/e' || k, 'http://ex/u',
+                       'http://u/' || u, TRUE FROM ids
+            ) ORDER BY s, p, o
+        """,
+        "s1_rdfxml_roundtrip": """
+            WITH ids AS (
+                SELECT CAST(event_id AS BIGINT) AS k, event_type,
+                       CAST(user_id AS VARCHAR) AS u
+                FROM events WHERE event_id < 300
+            )
+            SELECT s, p, o, o_is_iri FROM (
+                SELECT 'http://ex/e' || k AS s, 'http://ex/t' AS p,
+                       event_type AS o, FALSE AS o_is_iri FROM ids
+                UNION ALL
+                SELECT 'http://ex/e' || k, 'http://ex/u',
+                       'http://u/' || u, TRUE FROM ids
+            ) ORDER BY s, p, o
         """,
         "mm_audio_features": """
             WITH ids AS (
