@@ -1132,6 +1132,37 @@ def s1_turtle_roundtrip(spark, sf):
     ).orderBy("s", "p", "o")
 
 
+def s1_trig_roundtrip(spark, sf):
+    """S1 TriG parser under the driver gate: the same events-derived
+    statements wrapped in a NAMED GRAPH block — the g column must carry
+    the graph IRI on every row."""
+    import os
+
+    from kgsum_spark.sources import read_trig
+
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 300)
+    mx = 300
+    pre = spark.createDataFrame(
+        [(-2, "@prefix ex: <http://ex/> ."), (-1, "ex:g1 {")],
+        "k long, value string")
+    post = spark.createDataFrame([(mx + 1, "}")], "k long, value string")
+    lines = e.select(
+        F.col("event_id").cast("long").alias("k"),
+        F.concat(
+            F.lit("ex:e"), F.col("event_id").cast("string"),
+            F.lit(' ex:t "'), F.col("event_type"),
+            F.lit('" ; ex:u <http://u/'), F.col("user_id").cast("string"),
+            F.lit("> ."),
+        ).alias("value"),
+    )
+    path = f"/tmp/kgsum_s1_trig_{os.path.basename(sf.rstrip('/'))}"
+    pre.unionByName(lines).unionByName(post).coalesce(1) \
+        .sortWithinPartitions("k").select("value") \
+        .write.mode("overwrite").text(path)
+    t = read_trig(spark, path)
+    return t.select("s", "p", "o", "o_is_iri", "g").orderBy("s", "p", "o")
+
+
 def s1_rdfxml_roundtrip(spark, sf):
     """S1 RDF/XML parser under the driver gate: synthesize an RDF/XML
     document from events (typed property elements: one literal with
@@ -1431,6 +1462,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_features": mm_image_features,
         "mm_audio_features": mm_audio_features,
         "s1_turtle_roundtrip": s1_turtle_roundtrip,
+        "s1_trig_roundtrip": s1_trig_roundtrip,
         "s1_rdfxml_roundtrip": s1_rdfxml_roundtrip,
         "dedup_ngram_prefix": dedup_ngram_prefix,
         "j8_asof_join": j8_asof_join,
@@ -2285,6 +2317,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_id < 300
             )
             SELECT s, p, o, o_is_iri FROM (
+                SELECT 'http://ex/e' || k AS s, 'http://ex/t' AS p,
+                       event_type AS o, FALSE AS o_is_iri FROM ids
+                UNION ALL
+                SELECT 'http://ex/e' || k, 'http://ex/u',
+                       'http://u/' || u, TRUE FROM ids
+            ) ORDER BY s, p, o
+        """,
+        "s1_trig_roundtrip": """
+            WITH ids AS (
+                SELECT CAST(event_id AS BIGINT) AS k, event_type,
+                       CAST(user_id AS VARCHAR) AS u
+                FROM events WHERE event_id < 300
+            )
+            SELECT s, p, o, o_is_iri, 'http://ex/g1' AS g FROM (
                 SELECT 'http://ex/e' || k AS s, 'http://ex/t' AS p,
                        event_type AS o, FALSE AS o_is_iri FROM ids
                 UNION ALL
