@@ -1099,6 +1099,25 @@ def mm_image_features(spark, sf):
     ).orderBy("media_id")
 
 
+def doc_length_quantiles(spark, sf):
+    """EXACT percentiles (linear interpolation) of per-doc token counts by
+    language — Spark `percentile` vs DuckDB `quantile_cont`, both the
+    classical sorted+interpolate definition. (percentile_approx is the
+    100 TB path; the exact twin is what makes this oracle-able.)"""
+    d = _t(spark, sf, "documents")
+    n_tok = ts.token_count(F.col("text")).cast("bigint")
+    return (
+        d.select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.expr("percentile(n_tok, 0.5)").alias("p50"),
+            F.expr("percentile(n_tok, 0.9)").alias("p90"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 def s1_turtle_roundtrip(spark, sf):
     """S1 Turtle parser under the driver gate: synthesize a Turtle
     document from events (pname subjects, a `;` predicate-object list, a
@@ -1461,6 +1480,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pruned": ann_ivf_pruned,
         "mm_image_features": mm_image_features,
         "mm_audio_features": mm_audio_features,
+        "doc_length_quantiles": doc_length_quantiles,
         "s1_turtle_roundtrip": s1_turtle_roundtrip,
         "s1_trig_roundtrip": s1_trig_roundtrip,
         "s1_rdfxml_roundtrip": s1_rdfxml_roundtrip,
@@ -2309,6 +2329,18 @@ def oracle_sql() -> dict[str, str]:
                    avg((media_id*7 + y*11 + x*13 + 17) % 256) AS mean_g,
                    avg((media_id*7 + y*11 + x*13 + 34) % 256) AS mean_b
             FROM px GROUP BY media_id ORDER BY media_id
+        """,
+        "doc_length_quantiles": """
+            SELECT lang,
+                   quantile_cont(n_tok, 0.5) AS p50,
+                   quantile_cont(n_tok, 0.9) AS p90,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT lang,
+                         CAST(CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text), '\\s+'))
+                              END AS BIGINT) AS n_tok
+                  FROM documents)
+            GROUP BY lang ORDER BY lang
         """,
         "s1_turtle_roundtrip": """
             WITH ids AS (
