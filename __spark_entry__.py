@@ -17,11 +17,15 @@ column-sorted value hash matches. Cross-engine discipline:
 - doubles appear only where both engines compute bit-identical results
   (single divisions; sequential dot products on double arrays).
 
-Every entry is oracled (as of r2). The former rows-only ops are now
+Every entry is oracled — 78 pairs as of r3. The former rows-only ops are
 SQL-checkable: the KG pipeline's connected components via a WITH RECURSIVE
 min-label fixpoint; MinHash/ANN surfaces emit exact-verified values
 (Jaccard/cosine) so LSH only prunes; SimHash uses an md5-based portable
-hash that DuckDB reproduces bit-for-bit.
+hash that DuckDB reproduces bit-for-bit; the real multimodal decoders are
+checked against analytical pixel/RMS math; the Turtle/TriG/RDF-XML parsers
+against analytically reconstructed triples. No queries() output carries a
+container-typed column (the driver canonicalizer can't hash list cells) —
+guarded by tests/test_entry_schemas.py.
 """
 
 from __future__ import annotations
