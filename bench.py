@@ -33,6 +33,10 @@ from kgsum_spark.session import build_session  # noqa: E402
 from kgsum_spark.synth import write_corpus  # noqa: E402
 
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "380000"))  # ≈2M turns
+# "full" (default) = extraction + pipeline + operator suite;
+# "scaling" = extraction + pipeline only (tools/scaling_bench.py runs many
+# level pairs back-to-back and doesn't need the operator suite per level).
+BENCH_MODE = os.environ.get("SPARK_GRAFT_BENCH_MODE", "full")
 
 # operator headliners from the driver contract, timed via count()
 OPERATOR_QUERIES = [
@@ -109,25 +113,35 @@ def main() -> None:
     res.triples.count()
     timings["kg_full_pipeline"] = round(time.time() - t0, 3)
 
-    qs = entry_mod.queries()
-    # Warm each operator plan at sf0.001 then sf0.01: the first pass
-    # compiles the whole-stage codegen (the 64-aggregate MinHash plan alone
-    # costs ~6-10s to compile), the second gives the JIT enough iterations
-    # to reach steady state — so the timed sf run measures execution, not
-    # compilation.
-    # queries() wraps each callable to release the previous query's tracked
-    # persisted intermediates (kgsum_spark.datapipe._util.unpersist_tracked),
-    # so the 3 passes x 13 queries don't accumulate MEMORY_AND_DISK blocks
-    # that compete with execution memory.
-    for warm_sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    if BENCH_MODE == "full":
+        qs = entry_mod.queries()
+        # Warm each operator plan at sf0.001 then sf0.01: the first pass
+        # compiles the whole-stage codegen (the 64-aggregate MinHash plan
+        # alone costs ~6-10s to compile), the second gives the JIT enough
+        # iterations to reach steady state — so the timed sf run measures
+        # execution, not compilation.
+        # queries() wraps each callable to release the previous query's
+        # tracked persisted intermediates (datapipe._util.unpersist_tracked),
+        # so the passes don't accumulate MEMORY_AND_DISK blocks that compete
+        # with execution memory.
+        for warm_sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            for name in OPERATOR_QUERIES:
+                qs[name](spark, warm_sf).count()
+        # Median-of-3 per query: single shots on a shared box mislead —
+        # BENCH_r03 showed 1.6-2.8x load inflation on the heavy queries vs
+        # idle re-runs of the same code. Three timed passes over the whole
+        # suite (round-robin, so transient load hits different queries each
+        # pass), median per query.
+        per_query: dict[str, list[float]] = {n: [] for n in OPERATOR_QUERIES}
+        for _ in range(3):
+            for name in OPERATOR_QUERIES:
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                per_query[name].append(time.time() - t0)
         for name in OPERATOR_QUERIES:
-            qs[name](spark, warm_sf).count()
-    for name in OPERATOR_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-    from kgsum_spark.datapipe._util import unpersist_tracked
-    unpersist_tracked()
+            timings[name] = round(sorted(per_query[name])[1], 3)
+        from kgsum_spark.datapipe._util import unpersist_tracked
+        unpersist_tracked()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

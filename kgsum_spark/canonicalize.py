@@ -58,21 +58,31 @@ def _driver_cc(spark, lab: DataFrame, edges: DataFrame) -> DataFrame:
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 50,
     rows_per_partition: int = 100_000, driver_threshold: int = 1_000_000,
+    driver_edge_threshold: int = 20_000_000,
 ) -> DataFrame:
     """nodes(norm) ∪ edges(a, b) → (norm, label) with label = component min.
 
-    Scale-adaptive: vocabularies ≤ driver_threshold rows solve driver-side
-    (union-find, milliseconds); larger ones run the distributed loop.
-    Convergence there is decided from a `changed` flag computed inside the
-    same round (one aggregate over the just-checkpointed frame — no extra
-    join); max_iter is a safety bound, hit only on pathological inputs (a
-    chain of length 2^50).
+    Scale-adaptive: graphs with ≤ driver_threshold nodes AND ≤
+    driver_edge_threshold edges solve driver-side (union-find,
+    milliseconds); larger ones run the distributed loop. The edge gate
+    matters independently of the node gate: blocking-based similarity
+    edges are O(block²), so a modest vocabulary with one hot block can
+    produce tens of millions of edges — collecting those would OOM the
+    driver even though the node set fits. Convergence in the distributed
+    loop is decided from a `changed` flag computed inside the same round
+    (one aggregate over the just-checkpointed frame — no extra join);
+    max_iter is a safety bound, hit only on pathological inputs (a chain
+    of length 2^50).
     """
     lab = nodes.select(F.col("norm").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint()
     n_nodes = lab.count()
-    if n_nodes <= driver_threshold:
+    # One materialization serves the edge-count gate and whichever path
+    # runs (driver collect / distributed loop) — no double computation of
+    # the upstream similarity-edge plan.
+    edges = edges.select("a", "b").localCheckpoint()
+    if n_nodes <= driver_threshold and edges.count() <= driver_edge_threshold:
         out = _driver_cc(nodes.sparkSession, lab, edges)
         return out.select(F.col("node").alias("norm"), "label")
     nparts = max(2, min(int(n_nodes // rows_per_partition) + 1, 10_000))

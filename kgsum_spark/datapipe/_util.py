@@ -90,13 +90,14 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     be narrower than the cluster.
 
     Probe order (cheapest sufficient evidence wins):
-    1. len(inputFiles()) — an UPPER bound on scan partitions (Spark packs
-       many small files into fewer partitions, never splits beyond file
-       count for row-group-less files). Fewer files than cores proves the
-       scan is narrow — repartition without further cost.
+    1. len(inputFiles()) > _MAX_STAT_FILES — plenty of files: Spark's
+       bin-packing targets >= default parallelism whenever there are
+       enough bytes; skip stat'ing thousands of files and no-op.
     2. Size-based estimate of Spark's own bin-packing (file-status
-       metadata, driver-only) when the file count alone is inconclusive
-       and small enough to stat.
+       metadata, driver-only). A LOW file count alone proves nothing:
+       parquet and text are splittable, so one multi-GB file scans as
+       many maxPartitionBytes splits — the size formula handles both the
+       tiny-file and the large-single-file case (ADVICE r3).
     3. df.rdd.getNumPartitions() for derived/non-file plans — the only
        probe that forces physical planning; last resort.
     """
@@ -106,8 +107,6 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     except Exception:  # noqa: BLE001 — streaming / non-file plans
         files = []
     if files:
-        if len(files) < target:
-            return df.repartition(target, key)
         if len(files) > _MAX_STAT_FILES:
             return df  # enough bytes that Spark packs to >= parallelism
         try:

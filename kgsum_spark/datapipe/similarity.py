@@ -121,8 +121,28 @@ def knn_join(
     )
 
 
+def derive_lsh_params(
+    n: int, k0: int = 4, n0: int = 5_000, l0: int = 48,
+) -> tuple[int, int]:
+    """Occupancy-preserving LSH sizing for an n-row corpus.
+
+    k = k0 + ceil(log2(n / n0)) holds expected bucket occupancy (n / 2^k)
+    constant as the corpus grows — with k fixed the bucket self-join
+    degrades O(n² / 2^k). L doubles for every 4 extra planes
+    (L = l0 · 2^((k-k0)/4)), the empirically-validated recall compensation:
+    the 10× decorrelated-replica bench (BENCH/BASELINE.md, tools/
+    neardup_scale_bench.py) measured derived 8×96 returning 98% of the
+    4×48 verified pairs at 31% of the wall (69s vs 218s)."""
+    import math
+
+    k = k0 if n <= n0 else k0 + math.ceil(math.log2(n / n0))
+    L = int(round(l0 * 2.0 ** ((k - k0) / 4.0)))
+    return k, L
+
+
 def multi_lsh_candidates(
-    df: DataFrame, dim: int, n_planes: int = 4, n_tables: int = 48,
+    df: DataFrame, dim: int, n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Candidate pairs (a, b) from MULTI-TABLE hyperplane LSH: n_tables
@@ -135,16 +155,21 @@ def multi_lsh_candidates(
     The bucket self-join shuffles (table, bucket)-keyed rows; distinct
     dedups pairs found by several tables before any expensive verify.
 
-    SCALE RULE — n_planes must grow with the corpus: a table has 2^k
-    buckets, so with k fixed the bucket self-join degrades O(n²/2^k) as n
-    grows. Hold per-bucket occupancy roughly constant (k ≈ k0 + log2(n/n0))
-    and raise n_tables to hold recall (P(candidate|cosθ) =
-    1-(1-(1-θ/π)^k)^L). Measured at 10x corpus (BENCH/BASELINE.md r3):
-    defaults 4×48 took 218s; occupancy-restoring 8×96 returned 98% of the
-    verified pairs in 69s."""
+    SCALE RULE IS THE DEFAULT — when n_planes/n_tables are left None they
+    are derived from a cheap df.count() via derive_lsh_params (k grows with
+    log2(n) to hold bucket occupancy, tables scale to hold recall); a table
+    with k fixed degrades O(n²/2^k) as n grows. Explicit args override
+    (oracle-paired queries pin 4×48 so their candidate set is stable).
+    Measured at 10x corpus (BENCH/BASELINE.md r3): fixed 4×48 took 218s;
+    occupancy-restoring 8×96 returned 98% of the verified pairs in 69s."""
     import numpy as np
     from collections.abc import Iterator
     import pandas as pd
+
+    if n_planes is None or n_tables is None:
+        dk, dl = derive_lsh_params(df.count())
+        n_planes = n_planes if n_planes is not None else dk
+        n_tables = n_tables if n_tables is not None else dl
 
     planes = np.random.RandomState(seed).normal(size=(dim, n_planes * n_tables))
     pow2 = (1 << np.arange(n_planes)).astype(np.int64)
@@ -178,14 +203,17 @@ def multi_lsh_candidates(
 
 
 def ann_pairs_verified(
-    df: DataFrame, dim: int, n_planes: int = 4, n_tables: int = 48,
+    df: DataFrame, dim: int, n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42, threshold: float = 0.48,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-neighbor pairs (a, b, sim ≥ threshold) with EXACT cosine on
     LSH candidates — emitted values are hash-independent (the LSH stage
     only prunes), so a brute-force SQL oracle checks the result. Tests
-    assert recall 1.0 vs brute force on testdata at sf0.001/0.01/0.1."""
+    assert recall 1.0 vs brute force on testdata at sf0.001/0.01/0.1.
+    n_planes/n_tables default to the corpus-size-derived scale rule
+    (derive_lsh_params); pass explicit values to pin the candidate set."""
     cand = persist_tracked(
         multi_lsh_candidates(df, dim, n_planes, n_tables, seed, id_col, vec_col))
     vecs = df.select(F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v"))

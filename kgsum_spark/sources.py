@@ -4,11 +4,13 @@ S1 — the reference try-parses files as ttl/xml/nt/trig/n3/nquads with
 rdflib (/root/reference/src/dataset_preparation.py:371-378, formats :19).
 Spark-first: N-Triples/N-Quads are line-oriented → `spark.read.text` +
 one vectorized regex per batch inside mapInPandas (C-speed, splittable,
-100 TB-ready). Turtle, TriG, and RDF/XML are NOT line-oriented; they parse
-per FILE with the built-in rdflib-free parsers (parse_turtle / parse_trig
-/ parse_rdfxml — full Turtle incl. `[...]`/`(...)`, TriG graph blocks,
-the documented RDF/XML subset); n3 and subset-exceeding documents go
-through the import-gated rdflib seam (not shipped in this container).
+100 TB-ready). Turtle, TriG, RDF/XML, and N3 are NOT line-oriented; they
+parse per FILE with the built-in rdflib-free parsers (parse_turtle /
+parse_trig / parse_rdfxml / parse_n3 — full Turtle incl. `[...]`/`(...)`,
+TriG graph blocks, the documented RDF/XML subset, formula-free N3);
+subset-exceeding documents (n3 formulae/rules, rdf:ID without xml:base,
+parseType=Literal/Collection) go through the import-gated rdflib seam
+(not shipped in this container).
 
 S2/S3 — CSV/JSON catalog scans are plain `spark.read` with explicit schema.
 S6 — sinks are `df.write.parquet` / Iceberg `writeTo` (pipeline.py).
@@ -121,8 +123,8 @@ def read_rdf_with_rdflib(spark: SparkSession, path: str, fmt: str = "turtle") ->
 
 
 def guess_and_read(spark: SparkSession, path: str) -> DataFrame:
-    """S1 try-parse chain analog: nt/nq, ttl, trig, and rdf/xml native
-    (rdflib-free); n3 and subset-exceeding documents via rdflib
+    """S1 try-parse chain analog: nt/nq, ttl, trig, rdf/xml, and n3 native
+    (rdflib-free); subset-exceeding documents via rdflib
     (/root/reference/src/dataset_preparation.py:371-378)."""
     if path.endswith((".nt", ".nq", ".nquads")):
         return read_ntriples(spark, path)
@@ -133,7 +135,7 @@ def guess_and_read(spark: SparkSession, path: str) -> DataFrame:
     if path.endswith((".rdf", ".xml", ".owl")):
         return read_rdfxml(spark, path)
     if path.endswith(".n3"):
-        return read_rdf_with_rdflib(spark, path, "n3")
+        return read_n3(spark, path)
     return sniff_and_read(spark, path)
 
 
@@ -247,12 +249,16 @@ _TTL_TOKEN = __import__("re").compile(
     | (?P<kw>@prefix|@base|(?i:PREFIX|BASE)(?=[\s<]))
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<dtype>\^\^)
+    | (?P<op><=|=>|=|!|\^)
+    | (?P<qvar>\?[A-Za-z_][\w-]*)
     | (?P<punct>[;,.\[\](){}])
     | (?P<num>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
       # PN_LOCAL / bnode labels may contain dots but must not END with one
-      # (else 'ex:a.' would swallow the statement terminator)
+      # (else 'ex:a.' would swallow the statement terminator); the third
+      # alternative is the empty-prefix pname ':local' (default namespace)
     | (?P<pname>[A-Za-z_][\w.-]*?:(?:[\w.:%-]*[\w:%-])?
                |_:[\w.-]*[\w-]
+               |:(?:[\w.%-]*[\w%-])?
                |[A-Za-z_][\w-]*:?)
     """,
     __import__("re").VERBOSE,
@@ -281,24 +287,47 @@ def _ttl_tokens(text: str):
 _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 
-def parse_turtle(text: str) -> list[tuple]:
+def parse_turtle(text: str, doc_salt: str | None = None) -> list[tuple]:
     """Parse a Turtle document → rows matching TRIPLES_NT_SCHEMA:
     (s, p, o, o_is_iri, o_lang, o_datatype, g=None). Covers prefixes/base,
     pnames, lang/datatype literals, `;`/`,` lists, anonymous blank-node
     property lists `[...]` and RDF collections `(...)` (fresh `_:gb<n>`
-    labels, rdf:first/rest/nil encoding per the W3C Turtle grammar)."""
-    return _parse_ttl_family(text, allow_graphs=False)
+    labels, rdf:first/rest/nil encoding per the W3C Turtle grammar).
+    doc_salt (the readers pass a file-path hash) scopes EVERY bnode label
+    — generated and explicit `_:` alike — to this document: bnode labels
+    are document-scoped in RDF, so two files both using `_:b1` denote
+    distinct nodes and must not be conflated after a multi-file read."""
+    return _parse_ttl_family(text, allow_graphs=False, doc_salt=doc_salt)
 
 
-def parse_trig(text: str) -> list[tuple]:
+def parse_trig(text: str, doc_salt: str | None = None) -> list[tuple]:
     """Parse a TriG document (Turtle + graph blocks): `{...}` (default
     graph), `<g> {...}` / `pname {...}` / `GRAPH <g> {...}` — the g column
     carries the graph IRI (None for the default graph). Everything Turtle
     supports is legal inside a block and at the top level."""
-    return _parse_ttl_family(text, allow_graphs=True)
+    return _parse_ttl_family(text, allow_graphs=True, doc_salt=doc_salt)
 
 
-def _parse_ttl_family(text: str, allow_graphs: bool) -> list[tuple]:
+def parse_n3(text: str, doc_salt: str | None = None) -> list[tuple]:
+    """Parse a formula-free Notation3 document (the last of the reference's
+    six formats, /root/reference/src/dataset_preparation.py:19). The
+    supported subset is the full Turtle grammar plus the N3 sugar that
+    desugars to plain triples: `@keywords` (bare words → default-prefix
+    names), `has <p>` (identity), `<o> is <p> of <s>` (inverse), and `=`
+    (owl:sameAs). Formulae `{...}`, variables `?x`, rules `=>`/`<=` and
+    paths `!`/`^` have no triple desugaring — they raise
+    NotImplementedError so callers route through the rdflib seam
+    (read_rdf_with_rdflib), mirroring the reference's try-parse chain."""
+    return _parse_ttl_family(text, allow_graphs=False, doc_salt=doc_salt,
+                             n3=True)
+
+
+_OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def _parse_ttl_family(text: str, allow_graphs: bool,
+                      doc_salt: str | None = None,
+                      n3: bool = False) -> list[tuple]:
     import re
 
     prefixes: dict[str, str] = {}
@@ -308,10 +337,16 @@ def _parse_ttl_family(text: str, allow_graphs: bool) -> list[tuple]:
     rows: list[tuple] = []
     graph: list[str | None] = [None]   # current graph IRI (TriG blocks)
     bn_counter = [0]
+    keywords_mode = [False]            # n3 @keywords: bare words = :name
+    salt = f"{doc_salt}_" if doc_salt else ""
 
     def fresh_bnode() -> str:
         bn_counter[0] += 1
-        return f"_:gb{bn_counter[0]}"
+        return f"_:gb{salt}{bn_counter[0]}"
+
+    def scoped_bnode(tok: str) -> str:
+        # explicit _:label — document-scoped, so salt it like generated ones
+        return f"_:{salt}{tok[2:]}" if salt else tok
 
     def resolve_iri(tok: str) -> str:
         iri = tok[1:-1]
@@ -321,7 +356,12 @@ def _parse_ttl_family(text: str, allow_graphs: bool) -> list[tuple]:
 
     def resolve_pname(tok: str) -> str:
         if tok.startswith("_:"):
-            return tok
+            return scoped_bnode(tok)
+        if keywords_mode[0] and ":" not in tok:
+            # n3 @keywords: a bare word is a name in the default namespace
+            if ":" not in prefixes:
+                raise ValueError("n3: bare word with no default @prefix :")
+            return prefixes[":"] + tok
         pfx, _, local = tok.partition(":")
         if pfx + ":" not in prefixes:
             raise ValueError(f"turtle: undefined prefix {pfx!r}:")
@@ -350,7 +390,7 @@ def _parse_ttl_family(text: str, allow_graphs: bool) -> list[tuple]:
                 return ("iri", _RDF_NS + "type"), j + 1
             if tok in ("true", "false"):
                 return ("lit", tok, None, _XSD + "boolean"), j + 1
-            return (("bnode", tok) if tok.startswith("_:")
+            return (("bnode", scoped_bnode(tok)) if tok.startswith("_:")
                     else ("iri", resolve_pname(tok))), j + 1
         if kind in ("str", "lstr"):
             val = unquote(tok)
@@ -387,24 +427,61 @@ def _parse_ttl_family(text: str, allow_graphs: bool) -> list[tuple]:
                 emit(nodes[k], ("iri", _RDF_NS + "rest"),
                      nodes[k + 1] if k + 1 < len(items) else nil)
             return nodes[0], j + 1
+        if n3 and (kind == "qvar" or (kind == "punct" and tok == "{")):
+            raise NotImplementedError(
+                f"n3 subset: {tok!r} (formulae/variables) needs rdflib — "
+                "route through read_rdf_with_rdflib")
+        if n3 and kind == "op" and tok in ("!", "^"):
+            raise NotImplementedError(
+                f"n3 subset: path operator {tok!r} needs rdflib")
         raise ValueError(f"turtle: unexpected token {tok!r}")
+
+    def verb(j: int):
+        """predicate position: a term, or (n3) `has p` / `is p of` /
+        `=` / `=>` / `<=`. Returns (pred, j, inverse)."""
+        if n3 and j < len(toks):
+            kind, tok = toks[j]
+            if kind == "op":
+                if tok == "=":
+                    return ("iri", _OWL_SAME_AS), j + 1, False
+                raise NotImplementedError(
+                    f"n3 subset: operator {tok!r} needs rdflib")
+            if kind == "pname" and tok == "has":
+                pred, j2 = term(j + 1)
+                return pred, j2, False
+            if kind == "pname" and tok == "is":
+                pred, j2 = term(j + 1)
+                if j2 >= len(toks) or toks[j2] != ("pname", "of"):
+                    raise ValueError("n3: expected 'of' after 'is <pred>'")
+                return pred, j2 + 1, True
+        pred, j = term(j)
+        return pred, j, False
 
     def parse_pol(j: int, subj, stop: str = ".") -> int:
         """predicateObjectList: p o (, o)* (; p o ...)* — returns the index
         of the terminating punct (not consumed)."""
         while True:
-            pred, j = term(j)
+            pred, j, inverse = verb(j)
             while True:
                 obj, j = term(j)
-                emit(subj, pred, obj)
+                if inverse:
+                    # n3 `o is p of s`: the parsed object is the SUBJECT
+                    if obj[0] == "lit":
+                        raise ValueError("n3: literal subject in 'is..of'")
+                    emit(obj, pred, subj)
+                else:
+                    emit(subj, pred, obj)
                 if j < len(toks) and toks[j] == ("punct", ","):
                     j += 1
                     continue
                 break
             if j < len(toks) and toks[j] == ("punct", ";"):
                 j += 1
-                # trailing ';' before the terminator is legal
-                if j < len(toks) and toks[j] == ("punct", stop):
+                # trailing ';' before the terminator is legal — and inside
+                # a TriG graph block BOTH '}' and the statement '.' are
+                # terminators ('ex:g { ex:a ex:b ex:c ; . }' is legal TriG)
+                if j < len(toks) and toks[j][0] == "punct" \
+                        and toks[j][1] in (stop, "."):
                     break
                 continue
             break
@@ -428,6 +505,18 @@ def _parse_ttl_family(text: str, allow_graphs: bool) -> list[tuple]:
 
     while i < len(toks):
         kind, tok = toks[i]
+        if n3 and kind == "langtag" and tok.lower() in (
+                "@keywords", "@forall", "@forsome"):
+            if tok.lower() != "@keywords":
+                raise NotImplementedError(
+                    f"n3 subset: {tok} quantification needs rdflib")
+            # consume the keyword list (bare words / 'a', comma-separated)
+            keywords_mode[0] = True
+            i += 1
+            while i < len(toks) and toks[i] != ("punct", "."):
+                i += 1
+            i = expect_punct(i, ".")
+            continue
         if kind == "kw":
             kw = tok.lower().lstrip("@")
             if kw == "prefix":
@@ -465,35 +554,51 @@ def _parse_ttl_family(text: str, allow_graphs: bool) -> list[tuple]:
     return rows
 
 
-def read_turtle(spark: SparkSession, path: str) -> DataFrame:
-    """S1 (ttl, rdflib-free subset): whole-document scan → parse_turtle per
-    file inside mapInPandas. Turtle is not splittable (prefix state spans
-    the document), so parallelism is per-FILE — a directory of shards
-    parallelizes; one giant .ttl does not (convert to .nt for that)."""
+def _whole_doc_reader(spark: SparkSession, path: str, parse_fn) -> DataFrame:
+    """Shared per-file reader for the non-splittable formats: whole-document
+    scan → parse per file inside mapInPandas. Parallelism is per-FILE — a
+    directory of shards parallelizes; one giant document does not (convert
+    to .nt for that). Each document's bnode labels are salted with a short
+    hash of its file path (bnode labels are document-scoped in RDF — two
+    files both writing `_:b1` denote DIFFERENT nodes, and a multi-file read
+    must not conflate them in downstream joins/dedup/canonicalization)."""
+    import hashlib
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["s", "p", "o", "o_is_iri", "o_lang", "o_datatype", "g"]
         for pdf in batches:
-            for doc in pdf["value"]:
-                yield pd.DataFrame(parse_turtle(doc or ""), columns=cols)
+            for fname, doc in zip(pdf["_file"], pdf["value"]):
+                salt = hashlib.md5(
+                    (fname or doc or "").encode()).hexdigest()[:8]
+                yield pd.DataFrame(parse_fn(doc or "", doc_salt=salt),
+                                   columns=cols)
 
-    return spark.read.text(path, wholetext=True).mapInPandas(
-        parse, TRIPLES_NT_SCHEMA
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(F.input_file_name().alias("_file"), "value")
+        .mapInPandas(parse, TRIPLES_NT_SCHEMA)
     )
+
+
+def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+    """S1 (ttl, rdflib-free subset): whole-document scan → parse_turtle per
+    file inside mapInPandas (per-file parallelism + per-document bnode
+    scoping: see _whole_doc_reader)."""
+    return _whole_doc_reader(spark, path, parse_turtle)
 
 
 def read_trig(spark: SparkSession, path: str) -> DataFrame:
     """S1 (trig, rdflib-free): per-file parse_trig inside mapInPandas; the
-    g column carries the graph IRI (None = default graph). Same
-    per-file parallelism contract as read_turtle."""
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["s", "p", "o", "o_is_iri", "o_lang", "o_datatype", "g"]
-        for pdf in batches:
-            for doc in pdf["value"]:
-                yield pd.DataFrame(parse_trig(doc or ""), columns=cols)
+    g column carries the graph IRI (None = default graph)."""
+    return _whole_doc_reader(spark, path, parse_trig)
 
-    return spark.read.text(path, wholetext=True).mapInPandas(
-        parse, TRIPLES_NT_SCHEMA
-    )
+
+def read_n3(spark: SparkSession, path: str) -> DataFrame:
+    """S1 (n3, rdflib-free subset): per-file parse_n3 inside mapInPandas —
+    full Turtle plus the triple-desugaring N3 sugar (@keywords, has,
+    is..of, =). Formulae/variables/rules raise NotImplementedError from
+    the parser; route those documents through read_rdf_with_rdflib."""
+    return _whole_doc_reader(spark, path, parse_n3)
 
 
 # --- RDF/XML (stdlib ElementTree subset, r3) -------------------------------
@@ -502,7 +607,7 @@ _RDF_TAG = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
 _XML_TAG = "{http://www.w3.org/XML/1998/namespace}"
 
 
-def parse_rdfxml(text: str) -> list[tuple]:
+def parse_rdfxml(text: str, doc_salt: str | None = None) -> list[tuple]:
     """Parse an RDF/XML document (subset, stdlib ElementTree — no rdflib)
     → rows matching TRIPLES_NT_SCHEMA. Covered, per the public W3C RDF/XML
     grammar: rdf:RDF root (or a bare node element), rdf:Description and
@@ -518,10 +623,16 @@ def parse_rdfxml(text: str) -> list[tuple]:
     root = ET.fromstring(text)
     rows: list[tuple] = []
     counter = [0]
+    salt = f"{doc_salt}_" if doc_salt else ""
+    xml_base = (root.get(_XML_TAG + "base") or "").split("#")[0]
 
     def fresh() -> str:
         counter[0] += 1
-        return f"_:xb{counter[0]}"
+        return f"_:xb{salt}{counter[0]}"
+
+    def scoped(nid: str) -> str:
+        # rdf:nodeID labels are document-scoped like Turtle _: labels
+        return f"_:{salt}{nid}"
 
     def expand(tag: str) -> str:
         if not tag.startswith("{"):
@@ -543,9 +654,15 @@ def parse_rdfxml(text: str) -> list[tuple]:
         if about is not None:
             return ("iri", about)
         if rid is not None:
-            return ("iri", "#" + rid)  # resolved against doc base by caller
+            # rdf:ID denotes <base#id>; without a document base the IRI
+            # would be relative and collide across files → rdflib seam
+            if not xml_base:
+                raise NotImplementedError(
+                    "rdf/xml subset: rdf:ID without xml:base needs a "
+                    "document base — route through read_rdf_with_rdflib")
+            return ("iri", xml_base + "#" + rid)
         if nid is not None:
-            return ("bnode", "_:" + nid)
+            return ("bnode", scoped(nid))
         return ("bnode", fresh())
 
     def do_props(subj, el, inherited_lang):
@@ -571,7 +688,7 @@ def parse_rdfxml(text: str) -> list[tuple]:
             elif res is not None:
                 emit(subj, ptag, ("iri", res))
             elif nid is not None:
-                emit(subj, ptag, ("bnode", "_:" + nid))
+                emit(subj, ptag, ("bnode", scoped(nid)))
             elif children:
                 obj = do_node(children[0], lang)
                 emit(subj, ptag, obj)
@@ -599,13 +716,6 @@ def parse_rdfxml(text: str) -> list[tuple]:
 
 def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
     """S1 (rdf/xml, rdflib-free subset): per-file parse_rdfxml inside
-    mapInPandas; same per-file parallelism contract as read_turtle."""
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["s", "p", "o", "o_is_iri", "o_lang", "o_datatype", "g"]
-        for pdf in batches:
-            for doc in pdf["value"]:
-                yield pd.DataFrame(parse_rdfxml(doc or ""), columns=cols)
-
-    return spark.read.text(path, wholetext=True).mapInPandas(
-        parse, TRIPLES_NT_SCHEMA
-    )
+    mapInPandas; same per-file parallelism + bnode-scoping contract as
+    read_turtle (_whole_doc_reader)."""
+    return _whole_doc_reader(spark, path, parse_rdfxml)

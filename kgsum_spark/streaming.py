@@ -135,9 +135,13 @@ def streaming_minhash_signatures(
     n: int = 3, num_perm: int = 64, seed: int = 42,
 ):
     """Streaming NEAR-dup, stage 1: per micro-batch, compute MinHash
-    signatures for the batch's documents and APPEND them to a parquet
-    signature store (exactly-once via the streaming checkpoint; `epoch`
-    records the micro-batch). Signature work is strictly per-doc — no
+    signatures for the batch's documents and write them to a parquet
+    signature store partitioned by `epoch` (the micro-batch id). The write
+    is IDEMPOTENT — dynamic partition overwrite keyed on epoch_id — so a
+    foreachBatch retry after a partial write replaces that epoch's
+    directory instead of duplicating rows (foreachBatch is at-least-once;
+    a blind append would leak duplicates to any sig_path consumer).
+    Signature work is strictly per-doc — no
     cross-doc join ever runs inside the stream. The expensive pair-space
     work (LSH banding + exact verify) is deliberately a PERIODIC BATCH job
     over the accumulated store (`neardup_refresh`), mirroring the batch
@@ -149,8 +153,10 @@ def streaming_minhash_signatures(
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         sigs = minhash_signatures(batch, id_col, text_col, n, num_perm, seed)
-        sigs.withColumn("epoch", F.lit(epoch_id)) \
-            .write.mode("append").parquet(sig_path)
+        (sigs.withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch").parquet(sig_path))
 
     return (
         stream.writeStream.foreachBatch(handle)

@@ -62,3 +62,27 @@ def test_distributed_loop_matches_driver_cc(spark):
     drv = {r["norm"]: r["label"] for r in
            connected_components(ndf, edf, driver_threshold=10**9).collect()}
     assert dist == drv
+
+
+def test_hot_block_edge_count_routes_to_distributed_path(spark, monkeypatch):
+    """A small vocabulary with one hot block (quadratic similarity edges)
+    must NOT take the driver collect — the edge gate, not the node gate,
+    decides. _driver_cc is patched to fail loudly if reached."""
+    import itertools
+
+    import kgsum_spark.canonicalize as canon
+
+    nodes = [f"h{i:02d}" for i in range(30)]
+    edges = list(itertools.combinations(nodes, 2))  # 435 edges, 30 nodes
+
+    def boom(*a, **k):
+        raise AssertionError("driver fast path taken despite edge overflow")
+
+    monkeypatch.setattr(canon, "_driver_cc", boom)
+    ndf = spark.createDataFrame([(n,) for n in nodes], "norm string")
+    edf = spark.createDataFrame(edges, "a string, b string")
+    lab = {r["norm"]: r["label"] for r in
+           canon.connected_components(
+               ndf, edf, driver_threshold=10**9, driver_edge_threshold=100
+           ).collect()}
+    assert set(lab.values()) == {"h00"}  # one component, min-label h00

@@ -586,3 +586,66 @@ def test_detect_language_multilingual_accuracy(spark):
              if r["lang_pred"] != r["expected"]]
     acc = 1 - len(wrong) / len(got)
     assert acc >= 0.95, f"accuracy {acc}: {wrong[:10]}"
+
+
+def test_spread_no_shuffle_for_large_single_splittable_file(spark, tmp_path):
+    """ADVICE r3: one multi-partition-sized file is NOT a narrow scan —
+    parquet splits at maxPartitionBytes, so spread() must no-op instead of
+    forcing a full shuffle; a genuinely tiny file still widens."""
+    import pandas as pd
+
+    from kgsum_spark.datapipe._util import spread
+
+    big = tmp_path / "big.parquet"
+    pd.DataFrame({"doc_id": range(60_000),
+                  "text": ["payload " * 30] * 60_000}).to_parquet(
+        big, row_group_size=2_000, compression=None)
+    small = tmp_path / "small.parquet"
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]}).to_parquet(small)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes", "4m")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+        wide = spread(spark.read.parquet(str(big)), "doc_id")
+        assert "Exchange" not in wide._jdf.queryExecution().executedPlan().toString(), \
+            "large single splittable file must not be reshuffled"
+        narrow = spread(spark.read.parquet(str(small)), "doc_id")
+        assert "Exchange" in narrow._jdf.queryExecution().executedPlan().toString(), \
+            "tiny file should be widened"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
+def test_derive_lsh_params_scale_rule():
+    """VERDICT r3: the occupancy rule is the DEFAULT. At the calibration
+    point (n0=5k) the defaults are 4x48; at 10x the derived params match
+    the measured-good tuning (8x96, BENCH/BASELINE.md); growth is
+    logarithmic (one extra plane per doubling)."""
+    from kgsum_spark.datapipe.similarity import derive_lsh_params
+
+    assert derive_lsh_params(5_000) == (4, 48)
+    assert derive_lsh_params(1_000) == (4, 48)       # never below floor
+    assert derive_lsh_params(50_000) == (8, 96)      # the measured 10x point
+    k1, l1 = derive_lsh_params(10**9)
+    assert k1 == 4 + 18 and l1 == round(48 * 2 ** (18 / 4))
+
+
+def test_multi_lsh_candidates_derives_params_from_count(spark):
+    """Leaving n_planes/n_tables None derives them from df.count() and
+    still returns the near pair."""
+    import numpy as np
+
+    from kgsum_spark.datapipe import similarity as sim
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=8)
+    rows = [(0, [float(x) for x in base]),
+            (1, [float(x) for x in base + rng.normal(scale=0.01, size=8)])]
+    rows += [(i, [float(x) for x in rng.normal(size=8)]) for i in range(2, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["a"], r["b"]) for r in
+           sim.multi_lsh_candidates(df, dim=8).collect()}
+    assert (0, 1) in got

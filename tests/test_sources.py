@@ -339,3 +339,117 @@ def test_sniff_and_read_extensionless(spark, tmp_path):
     )
     got = sources.guess_and_read(spark, str(x)).collect()
     assert len(got) == 1 and got[0]["o"] == "v"
+
+
+# --- r4: document-scoped bnodes, TriG ';.', rdf:ID base, native n3 ---------
+
+
+def test_multi_file_bnodes_not_conflated(spark, tmp_path):
+    """ADVICE r3: anonymous/explicit bnode labels are document-scoped —
+    two files both using `[...]` (and both writing `_:b1`) must yield
+    DISTINCT node ids after a directory read."""
+    d = tmp_path / "ttl"
+    d.mkdir()
+    doc = ('@prefix ex: <http://ex/> .\n'
+           'ex:s%d ex:p [ ex:q "v" ] .\n'
+           '_:b1 ex:r ex:s%d .\n')
+    (d / "a.ttl").write_text(doc % (1, 1))
+    (d / "b.ttl").write_text(doc % (2, 2))
+    rows = sources.read_turtle(spark, str(d)).collect()
+    anon = {r["o"] for r in rows if r["p"] == "http://ex/p"}
+    explicit = {r["s"] for r in rows if r["p"] == "http://ex/r"}
+    assert len(anon) == 2, "anonymous bnodes from different files conflated"
+    assert len(explicit) == 2, "explicit _:b1 from different files conflated"
+    # within one doc the generated label is still consistent (subject of q)
+    q_subjects = {r["s"] for r in rows if r["p"] == "http://ex/q"}
+    assert q_subjects == anon
+
+
+def test_trig_trailing_semicolon_before_dot():
+    """ADVICE r3: 'ex:g { ex:a ex:b ex:c ; . }' is legal TriG."""
+    rows = sources.parse_trig(
+        "@prefix ex: <http://ex/> .\nex:g { ex:a ex:b ex:c ; . }")
+    assert [(r[0], r[1], r[2], r[6]) for r in rows] == [
+        ("http://ex/a", "http://ex/b", "http://ex/c", "http://ex/g")]
+
+
+def test_rdfxml_rdf_id_resolves_against_xml_base():
+    doc = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+           ' xmlns:ex="http://ex/" xml:base="http://base.org/doc">'
+           '<rdf:Description rdf:ID="thing"><ex:p>v</ex:p></rdf:Description>'
+           "</rdf:RDF>")
+    rows = sources.parse_rdfxml(doc)
+    assert rows[0][0] == "http://base.org/doc#thing"
+
+
+def test_rdfxml_rdf_id_without_base_routes_to_seam():
+    doc = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+           ' xmlns:ex="http://ex/">'
+           '<rdf:Description rdf:ID="thing"><ex:p>v</ex:p></rdf:Description>'
+           "</rdf:RDF>")
+    with pytest.raises(NotImplementedError):
+        sources.parse_rdfxml(doc)
+
+
+N3_DOC = """\
+@prefix : <http://ex/> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+@keywords a .
+:alice a foaf:Person ; foaf:knows :bob .
+:bob has foaf:name "Bob" .
+:carol is foaf:knows of :alice .
+:alice = :al1ce .
+"""
+
+
+def test_parse_n3_sugar():
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    foaf = "http://xmlns.com/foaf/0.1/"
+    rows = {(r[0], r[1], r[2]) for r in sources.parse_n3(N3_DOC)}
+    assert ("http://ex/alice", rdf + "type", foaf + "Person") in rows
+    assert ("http://ex/bob", foaf + "name", "Bob") in rows          # has
+    assert ("http://ex/alice", foaf + "knows", "http://ex/carol") in rows  # is..of
+    assert ("http://ex/alice",
+            "http://www.w3.org/2002/07/owl#sameAs", "http://ex/al1ce") in rows
+
+
+def test_parse_n3_keywords_bare_words():
+    rows = sources.parse_n3(
+        "@prefix : <http://ex/> .\n@keywords a .\nalice a :Person .\n")
+    assert rows[0][0] == "http://ex/alice"
+    assert rows[0][2] == "http://ex/Person"
+
+
+def test_parse_n3_is_turtle_superset():
+    ttl = ('@prefix ex: <http://ex/> .\n'
+           'ex:a ex:p [ ex:q ( 1 2 ) ] ; ex:r "lit"@en .\n')
+    assert sources.parse_n3(ttl) == sources.parse_turtle(ttl)
+
+
+@pytest.mark.parametrize("doc", [
+    "@prefix : <http://ex/> .\n{ :a :b :c } => { :d :e :f } .",
+    "@prefix : <http://ex/> .\n?x :b :c .",
+    "@prefix : <http://ex/> .\n:a!:b :c :d .",
+    "@prefix : <http://ex/> .\n@forAll :x .",
+])
+def test_parse_n3_out_of_subset_routes_to_seam(doc):
+    with pytest.raises(NotImplementedError):
+        sources.parse_n3(doc)
+
+
+def test_read_n3_matches_nt_twin(spark, tmp_path):
+    n3 = tmp_path / "g.n3"
+    n3.write_text(
+        "@prefix ex: <http://ex/> .\n"
+        'ex:a ex:b ex:c .\nex:d is ex:b of ex:a .\nex:a ex:l "lit" .\n')
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        "<http://ex/a> <http://ex/b> <http://ex/c> .\n"
+        "<http://ex/a> <http://ex/b> <http://ex/d> .\n"
+        '<http://ex/a> <http://ex/l> "lit" .\n')
+    cols = ["s", "p", "o", "o_is_iri"]
+    t1 = {tuple(r) for r in
+          sources.guess_and_read(spark, str(n3)).select(*cols).collect()}
+    t2 = {tuple(r) for r in
+          sources.guess_and_read(spark, str(nt)).select(*cols).collect()}
+    assert t1 == t2 and len(t1) == 3

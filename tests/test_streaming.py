@@ -224,3 +224,35 @@ def test_streaming_neardup_refresh_keeps_latest_signature(spark, tmp_path):
     pairs = neardup_refresh(spark, sig_path, latest, n=2,
                             threshold=0.5).collect()
     assert pairs == []
+
+
+def test_streaming_signature_write_is_idempotent_per_epoch(spark, tmp_path):
+    """ADVICE r3: foreachBatch is at-least-once — a retried epoch must
+    REPLACE its rows, not append duplicates. Simulated by re-running the
+    same availableNow stream with a fresh checkpoint (same inputs replay
+    as the same epoch ids): the signature store must be unchanged."""
+    import shutil
+
+    from kgsum_spark.streaming import streaming_minhash_signatures
+
+    docs_schema = "doc_id long, text string"
+    src = tmp_path / "idem_src"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        docs_schema).coalesce(1).write.mode("append").parquet(str(src))
+    sig_path = str(tmp_path / "idem_sigs")
+
+    def run(ckpt: str) -> None:
+        stream = (spark.readStream.schema(docs_schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = streaming_minhash_signatures(stream, sig_path, ckpt, n=2)
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "idem_ckpt1"))
+    first = sorted(tuple(r) for r in
+                   spark.read.parquet(sig_path).select("id", "epoch").collect())
+    shutil.rmtree(tmp_path / "idem_ckpt1")
+    run(str(tmp_path / "idem_ckpt2"))  # replay == retry of the same epochs
+    second = sorted(tuple(r) for r in
+                    spark.read.parquet(sig_path).select("id", "epoch").collect())
+    assert first == second  # no duplicated epoch rows

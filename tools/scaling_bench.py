@@ -46,7 +46,8 @@ def machine_ceiling(n_low: int, n_high: int, per: int = 3_000_000, tasks: int = 
 
 
 def run_level(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_BENCH_MODE="scaling")
     env.setdefault("SPARK_GRAFT_BENCH_REPLICATE", "4")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -59,11 +60,26 @@ def run_level(cpus: int) -> dict:
 def main() -> None:
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     ceiling = machine_ceiling(n_low, n_high)
-    lo = run_level(n_low)
-    hi = run_level(n_high)
     ratio = n_high / n_low
-    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
+    # Back-to-back alternating (low, high) pairs, median-of-pairs
+    # efficiency: the same code measured 0.937 (r2) and 0.763 (r3) in
+    # single pairs — box-load drift between the two level runs dominates
+    # the engine signal. Alternation bounds the drift window to one pair;
+    # the median rejects a contaminated pair entirely.
+    pair_results: list[tuple[dict, dict, float]] = []
+    for i in range(pairs):
+        lo_i = run_level(n_low)
+        hi_i = run_level(n_high)
+        e = (hi_i["turns_per_sec"] / lo_i["turns_per_sec"]) / ratio
+        pair_results.append((lo_i, hi_i, e))
+        print(json.dumps({"pair": i, "low_tps": lo_i["turns_per_sec"],
+                          "high_tps": hi_i["turns_per_sec"],
+                          "efficiency": round(e, 3)}), flush=True)
+    pair_results.sort(key=lambda t: t[2])
+    lo, hi, eff = pair_results[len(pair_results) // 2]
+    all_effs = [round(t[2], 3) for t in sorted(pair_results, key=lambda t: t[2])]
     pipe_eff = (lo["queries"]["kg_full_pipeline"] / hi["queries"]["kg_full_pipeline"]) / ratio
 
     md = f"""# BENCH — scaling evidence (N vs {ratio:.0f}N parallelism)
@@ -72,6 +88,10 @@ Generated {datetime.date.today().isoformat()} by `python tools/scaling_bench.py 
 Same input at both levels: deterministic synthetic transcript corpus
 ({lo["n_turns"]:,} turns → {lo["n_triples"]:,} raw triples, seed 42), fresh JVM per level
 (sandbox proxy for an N- vs {ratio:.0f}N-executor cluster per the driver instruction).
+Protocol: {pairs} back-to-back alternating (low, high) level pairs — each level a
+fresh JVM, extraction itself median-of-3 inside each JVM — reporting the
+**median pair**. Alternation bounds box-load drift to one pair; the median
+rejects a contaminated pair. All pair efficiencies this run: {all_effs}.
 
 ## Triple-extraction throughput (headline metric, BASELINE.json)
 
@@ -127,7 +147,8 @@ Raw JSON:
     with open(path, "w") as f:
         f.write(md + tail)
     print(json.dumps({"low": lo["turns_per_sec"], "high": hi["turns_per_sec"],
-                      "efficiency": round(eff, 3)}))
+                      "efficiency": round(eff, 3), "pair_efficiencies": all_effs,
+                      "ceiling": round(ceiling, 3)}))
 
 
 if __name__ == "__main__":
