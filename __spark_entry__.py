@@ -1227,6 +1227,93 @@ def s1_rdfxml_roundtrip(spark, sf):
     ).orderBy("s", "p", "o")
 
 
+def s1_n3_roundtrip(spark, sf):
+    """S1 N3 parser under the driver gate (r4): synthesize a Notation3
+    document from events exercising the N3-specific sugar — `@keywords`,
+    a bare-word `a` type, `is <p> of` (inverse), and `=` (owl:sameAs) —
+    write it as ONE text file, parse with sources.read_n3, and emit the
+    triples. DuckDB reconstructs the desugared triples analytically
+    (reference format list: /root/reference/src/dataset_preparation.py:19)."""
+    import os
+
+    from kgsum_spark.sources import read_n3
+
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 300)
+    header = spark.createDataFrame(
+        [(-2, "@prefix ex: <http://ex/> ."), (-1, "@keywords a .")],
+        "k long, value string")
+    k = F.col("event_id").cast("string")
+    lines = e.select(
+        F.col("event_id").cast("long").alias("k"),
+        F.concat(
+            F.lit("ex:e"), k, F.lit(' ex:t "'), F.col("event_type"),
+            F.lit('" ; a ex:Event .\n'),
+            F.lit("<http://u/"), F.col("user_id").cast("string"),
+            F.lit("> is ex:u of ex:e"), k, F.lit(" .\n"),
+            F.lit("ex:e"), k, F.lit(" = ex:same"), k, F.lit(" ."),
+        ).alias("value"),
+    )
+    path = f"/tmp/kgsum_s1_n3_{os.path.basename(sf.rstrip('/'))}"
+    header.unionByName(lines).coalesce(1).sortWithinPartitions("k") \
+        .select("value").write.mode("overwrite").text(path)
+    t = read_n3(spark, path)
+    return t.select(
+        F.col("s"), F.col("p"), F.col("o"), F.col("o_is_iri")
+    ).orderBy("s", "p", "o")
+
+
+def kg_multi_profiles(spark, sf):
+    """Multi-graph profile battery (r4): EVERY graph's profile in ONE pass
+    (profile.build_profiles) — the reference loops create_local_dataset
+    one KG at a time (/root/reference/src/dataset_preparation.py:526-586).
+    A 3-graph triples fixture is derived from events (graph = event_id%3):
+    per-graph class/property/vocabulary/label sets and the per-graph
+    title-fallback chain (only graph 0 has dcterms:title rows; its
+    title subject is untyped so the label semi-join must exclude it).
+    Array features are serialized for the hash compare."""
+    from kgsum_spark.profile import build_profiles
+
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 300).select(
+        F.col("event_id").cast("long").alias("k"),
+        F.col("event_type"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    g = F.concat(F.lit("http://g/"), (F.col("k") % 3).cast("string"))
+    s = F.concat(F.lit("http://d/s"), F.col("u"))
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rdfs_label = "http://www.w3.org/2000/01/rdf-schema#label"
+    dct_title = "http://purl.org/dc/terms/title"
+    type_rows = e.select(
+        g.alias("g"), s.alias("subj"), F.lit(rdf_type).alias("pred"),
+        F.concat(F.lit("http://v/C"), (F.col("k") % 5).cast("string")).alias("obj"),
+        F.lit(True).alias("obj_is_iri"))
+    label_rows = e.select(
+        g.alias("g"), s.alias("subj"), F.lit(rdfs_label).alias("pred"),
+        F.concat(F.lit("L"), F.col("event_type")).alias("obj"),
+        F.lit(False).alias("obj_is_iri"))
+    attr_rows = e.select(
+        g.alias("g"), s.alias("subj"),
+        F.concat(F.lit("http://p"), (F.col("k") % 4).cast("string"),
+                 F.lit("/q")).alias("pred"),
+        F.concat(F.lit("x"), (F.col("k") % 10).cast("string")).alias("obj"),
+        F.lit(False).alias("obj_is_iri"))
+    title_rows = e.filter(F.col("k") % 21 == 0).select(
+        g.alias("g"), F.lit("http://d/meta").alias("subj"),
+        F.lit(dct_title).alias("pred"),
+        F.concat(F.lit("T"), F.col("k").cast("string")).alias("obj"),
+        F.lit(False).alias("obj_is_iri"))
+    t = type_rows.unionByName(label_rows).unionByName(attr_rows) \
+        .unionByName(title_rows)
+    p = build_profiles(t, "g")
+    return p.select(
+        F.col("id"), F.col("title"),
+        F.array_join("curi", " ").alias("curi_s"),
+        F.array_join("puri", " ").alias("puri_s"),
+        F.array_join("voc", " ").alias("voc_s"),
+        F.array_join("lab", " ").alias("lab_s"),
+    ).orderBy("id")
+
+
 def mm_audio_features(spark, sf):
     """Multimodal audio oracle row: deterministic 16-bit PCM WAV payloads
     (sample[i] = ((id*31 + i*7) mod 2001) - 1000, mono, 8 kHz, 500 + id%300
@@ -1488,6 +1575,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_turtle_roundtrip": s1_turtle_roundtrip,
         "s1_trig_roundtrip": s1_trig_roundtrip,
         "s1_rdfxml_roundtrip": s1_rdfxml_roundtrip,
+        "s1_n3_roundtrip": s1_n3_roundtrip,
+        "kg_multi_profiles": kg_multi_profiles,
         "dedup_ngram_prefix": dedup_ngram_prefix,
         "j8_asof_join": j8_asof_join,
         "j9_range_join": j9_range_join,
@@ -2387,6 +2476,99 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'http://ex/e' || k, 'http://ex/u',
                        'http://u/' || u, TRUE FROM ids
             ) ORDER BY s, p, o
+        """,
+        "s1_n3_roundtrip": """
+            WITH ids AS (
+                SELECT CAST(event_id AS BIGINT) AS k, event_type,
+                       CAST(user_id AS VARCHAR) AS u
+                FROM events WHERE event_id < 300
+            )
+            SELECT s, p, o, o_is_iri FROM (
+                SELECT 'http://ex/e' || k AS s, 'http://ex/t' AS p,
+                       event_type AS o, FALSE AS o_is_iri FROM ids
+                UNION ALL
+                SELECT 'http://ex/e' || k,
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                       'http://ex/Event', TRUE FROM ids
+                UNION ALL
+                SELECT 'http://ex/e' || k, 'http://ex/u',
+                       'http://u/' || u, TRUE FROM ids
+                UNION ALL
+                SELECT 'http://ex/e' || k,
+                       'http://www.w3.org/2002/07/owl#sameAs',
+                       'http://ex/same' || k, TRUE FROM ids
+            ) ORDER BY s, p, o
+        """,
+        "kg_multi_profiles": """
+            WITH ev AS (
+                SELECT CAST(event_id AS BIGINT) AS k, event_type,
+                       CAST(user_id AS VARCHAR) AS u
+                FROM events WHERE event_id < 300
+            ), tr AS (
+                SELECT 'http://g/' || CAST(k % 3 AS VARCHAR) AS g,
+                       'http://d/s' || u AS subj,
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                       'http://v/C' || CAST(k % 5 AS VARCHAR) AS obj
+                FROM ev
+                UNION ALL
+                SELECT 'http://g/' || CAST(k % 3 AS VARCHAR),
+                       'http://d/s' || u,
+                       'http://www.w3.org/2000/01/rdf-schema#label',
+                       'L' || event_type FROM ev
+                UNION ALL
+                SELECT 'http://g/' || CAST(k % 3 AS VARCHAR),
+                       'http://d/s' || u,
+                       'http://p' || CAST(k % 4 AS VARCHAR) || '/q',
+                       'x' || CAST(k % 10 AS VARCHAR) FROM ev
+                UNION ALL
+                SELECT 'http://g/0', 'http://d/meta',
+                       'http://purl.org/dc/terms/title',
+                       'T' || CAST(k AS VARCHAR) FROM ev WHERE k % 21 = 0
+            ), typed AS (
+                SELECT DISTINCT g, subj FROM tr
+                WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+            ), gs AS (SELECT DISTINCT g FROM tr),
+            curi AS (
+                SELECT g, string_agg(DISTINCT obj, ' ' ORDER BY obj) AS v
+                FROM tr
+                WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                GROUP BY g
+            ), puri AS (
+                SELECT g, string_agg(DISTINCT pred, ' ' ORDER BY pred) AS v
+                FROM tr
+                WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                GROUP BY g
+            ), voc AS (
+                SELECT g, string_agg(DISTINCT ns, ' ' ORDER BY ns) AS v
+                FROM (SELECT g,
+                        CASE WHEN contains(pred, '#')
+                             THEN split_part(pred, '#', 1)
+                             ELSE regexp_replace(pred, '/[^/]*$', '') END AS ns
+                      FROM tr)
+                GROUP BY g
+            ), lab AS (
+                SELECT t.g, string_agg(DISTINCT t.obj, ' ' ORDER BY t.obj) AS v
+                FROM tr t JOIN typed ty ON t.g = ty.g AND t.subj = ty.subj
+                WHERE t.pred IN ('http://www.w3.org/2000/01/rdf-schema#label',
+                                 'http://purl.org/dc/terms/title')
+                GROUP BY t.g
+            ), titles AS (
+                SELECT g, min(obj) AS v FROM tr
+                WHERE pred = 'http://purl.org/dc/terms/title' GROUP BY g
+            )
+            SELECT gs.g AS id,
+                   COALESCE(titles.v, '') AS title,
+                   COALESCE(curi.v, '') AS curi_s,
+                   COALESCE(puri.v, '') AS puri_s,
+                   COALESCE(voc.v, '') AS voc_s,
+                   COALESCE(lab.v, '') AS lab_s
+            FROM gs
+            LEFT JOIN curi ON gs.g = curi.g
+            LEFT JOIN puri ON gs.g = puri.g
+            LEFT JOIN voc ON gs.g = voc.g
+            LEFT JOIN lab ON gs.g = lab.g
+            LEFT JOIN titles ON gs.g = titles.g
+            ORDER BY id
         """,
         "mm_audio_features": """
             WITH ids AS (

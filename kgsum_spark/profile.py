@@ -262,12 +262,15 @@ _PROFILE_LIMITS = {"voc": 1000, "curi": 1000, "puri": 1000, "lab": 1000,
                    "title": 1, "dsc": 100, "sbj": 100, "con": 1000}
 
 
-def _feature_rows(t: DataFrame) -> DataFrame:
+def _feature_rows(t: DataFrame, graph_col: str | None = None) -> DataFrame:
     """(feat, val) rows for every profile feature — ONE pass over the
     triples table for the ten scan-only features (each row emits its
     feature memberships via a compacted when-array explode), plus the two
     semi-join features (lab: typed subjects; sbj: void datasets) as
-    unioned branches sharing the same scan subtree."""
+    unioned branches sharing the same scan subtree. With graph_col the
+    rows carry the graph id and the semi-joins/caps key on it, so ONE
+    pass covers every graph."""
+    gcols = [graph_col] if graph_col else []
     tags = []
 
     def tag(cond, feat, val):
@@ -287,22 +290,29 @@ def _feature_rows(t: DataFrame) -> DataFrame:
                         (DCT_DESCRIPTION, "dsc"), (OWL_SAMEAS, "con")]:
         tag(F.col("pred").isin(preds), feat, F.col("obj"))
     arr = F.filter(F.array(*tags), lambda x: x.isNotNull())
-    scan = t.select(F.explode(arr).alias("fv")).select("fv.feat", "fv.val")
+    scan = t.select(*gcols, F.explode(arr).alias("fv")) \
+        .select(*gcols, "fv.feat", "fv.val")
 
-    typed = t.filter(is_type).select("subj").distinct()
+    typed = t.filter(is_type).select(*gcols, "subj").distinct()
     lab_rows = (
         t.filter(F.col("pred").isin(LABEL_PREDICATES) & ~F.col("obj_is_iri"))
-        .join(typed, "subj", "left_semi")
-        .select(F.lit("lab").alias("feat"), F.col("obj").alias("val"))
+        .join(typed, [*gcols, "subj"], "left_semi")
+        .select(*gcols, F.lit("lab").alias("feat"), F.col("obj").alias("val"))
     )
-    ds = (
-        t.filter(is_type & F.col("obj").isin(VOID_DATASET))
-        .select("subj").distinct().orderBy("subj").limit(100)
-    )
+    ds_all = t.filter(is_type & F.col("obj").isin(VOID_DATASET)) \
+        .select(*gcols, "subj").distinct()
+    if graph_col:
+        # per-graph cap: a window, not a global limit (stays one job for
+        # any number of graphs)
+        wds = Window.partitionBy(graph_col).orderBy("subj")
+        ds = ds_all.withColumn("_rn", F.row_number().over(wds)) \
+            .filter(F.col("_rn") <= 100).drop("_rn")
+    else:
+        ds = ds_all.orderBy("subj").limit(100)
     sbj_rows = (
         t.filter(F.col("pred").isin(DCT_SUBJECT))
-        .join(F.broadcast(ds), "subj", "left_semi")
-        .select(F.lit("sbj").alias("feat"), F.col("obj").alias("val"))
+        .join(F.broadcast(ds), [*gcols, "subj"], "left_semi")
+        .select(*gcols, F.lit("sbj").alias("feat"), F.col("obj").alias("val"))
     )
     return scan.unionByName(lab_rows).unionByName(sbj_rows)
 
@@ -321,9 +331,39 @@ def build_profile(t: DataFrame, profile_id: str = "graph") -> DataFrame:
     distinct-orderBy-limit chains), and one pivot folds the capped rows
     into the single profile row. Output is bit-identical to the per-feature
     functions (regression-tested)."""
-    rows = _feature_rows(t)
-    counted = rows.groupBy("feat", "val").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("feat").orderBy(
+    row = _assemble_profiles(_feature_rows(t), graph_col=None)
+    return row.select(F.lit(profile_id).alias("id"), "title", *[
+        c for c in _PROFILE_FEATURES if c != "title"
+    ])
+
+
+def build_profiles(t: DataFrame, graph_col: str = "g") -> DataFrame:
+    """EVERY graph's profile in ONE pass — the multi-KG analog of
+    build_profile. The reference profiles many KGs in a driver loop, one
+    graph per iteration (create_local_dataset,
+    /root/reference/src/dataset_preparation.py:526-586); here the graph id
+    is just another grouping key, so the when-array explode, the one count
+    aggregate, the per-(graph, feat) cap window, and the one pivot cover
+    all graphs together — the job count does NOT scale with graph count.
+    Output: one row per distinct graph_col value (id = graph id), same
+    columns as build_profile; a graph's profile here is bit-identical to
+    build_profile run on that graph's rows alone (regression-tested)."""
+    rows = _feature_rows(t, graph_col)
+    out = _assemble_profiles(rows, graph_col)
+    return out.select(F.col(graph_col).alias("id"), "title", *[
+        c for c in _PROFILE_FEATURES if c != "title"
+    ])
+
+
+def _assemble_profiles(rows: DataFrame, graph_col: str | None) -> DataFrame:
+    """(feat, val[, graph]) rows → one profile row per group: one count
+    aggregate dedups and counts, one per-(group, feat) window applies each
+    feature's cap (count-ranked for curi/puri, value-ranked for the rest),
+    one pivot folds capped rows into array columns."""
+    gcols = [graph_col] if graph_col else []
+    counted = rows.groupBy(*gcols, "feat", "val") \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(*gcols, "feat").orderBy(
         F.when(F.col("feat").isin("curi", "puri"), -F.col("cnt"))
         .otherwise(F.lit(0)).asc(),
         F.col("val").asc(),
@@ -337,7 +377,7 @@ def build_profile(t: DataFrame, profile_id: str = "graph") -> DataFrame:
         .filter(F.col("_rn") <= cap)
     )
     row = (
-        capped.groupBy()
+        capped.groupBy(*gcols)
         .pivot("feat", _PROFILE_FEATURES)
         .agg(F.array_sort(F.collect_list("val")))
     )
@@ -345,7 +385,7 @@ def build_profile(t: DataFrame, profile_id: str = "graph") -> DataFrame:
     for feat in _PROFILE_FEATURES:
         row = row.withColumn(feat, F.coalesce(F.col(feat), empty))
     # Q9 fallback chain: title → endpoint → "" (/root/reference/src/dataset_preparation.py:405)
-    row = row.withColumn(
+    return row.withColumn(
         "title",
         F.coalesce(
             F.try_element_at("title", F.lit(1)),
@@ -353,6 +393,3 @@ def build_profile(t: DataFrame, profile_id: str = "graph") -> DataFrame:
             F.lit(""),
         ),
     )
-    return row.select(F.lit(profile_id).alias("id"), "title", *[
-        c for c in _PROFILE_FEATURES if c != "title"
-    ])

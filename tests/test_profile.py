@@ -162,3 +162,76 @@ def test_build_profile_single_action_job_count(spark, triples):
     # (measured: 9 for this plan). The r1-r2 12-subtree regime measured 28
     # jobs and 1.7x the latency on the same fixture.
     assert new_jobs <= 10, f"{new_jobs} jobs for one profile"
+
+
+@pytest.fixture(scope="module")
+def multigraph_triples(spark, triples):
+    """Three graphs: g1 = the full fixture, g2 = a different subset (no
+    void dataset, no title — exercises per-graph fallbacks), g3 = type
+    rows only."""
+    from pyspark.sql import functions as F
+
+    base = triples
+    g1 = base.withColumn("g", F.lit("http://g/1"))
+    g2 = base.filter(
+        ~F.col("pred").isin("http://purl.org/dc/terms/title",
+                            "http://purl.org/dc/terms/subject")
+        & (F.col("obj") != "http://rdfs.org/ns/void#Dataset")
+    ).withColumn("g", F.lit("http://g/2"))
+    g3 = base.filter(F.col("pred").endswith("#type")) \
+        .withColumn("g", F.lit("http://g/3"))
+    return g1.unionByName(g2).unionByName(g3)
+
+
+def test_build_profiles_multi_graph_matches_per_graph(multigraph_triples):
+    """VERDICT r3 #6: build_profiles(t, g) — each graph's row must be
+    bit-identical to build_profile run on that graph's rows alone."""
+    from pyspark.sql import functions as F
+
+    all_rows = {r["id"]: r for r in
+                profile.build_profiles(multigraph_triples, "g").collect()}
+    assert set(all_rows) == {"http://g/1", "http://g/2", "http://g/3"}
+    for gid in sorted(all_rows):
+        solo = profile.build_profile(
+            multigraph_triples.filter(F.col("g") == gid).drop("g"), gid
+        ).collect()[0]
+        assert all_rows[gid].asDict() == solo.asDict(), gid
+    # per-graph fallback really differs: g1 has a title, g2 falls back to
+    # its sparql endpoint, g3 (types only) to ""
+    assert all_rows["http://g/1"]["title"] == "My Graph"
+    assert all_rows["http://g/2"]["title"] == "http://d/sparql"
+    assert all_rows["http://g/3"]["title"] == ""
+
+
+def test_build_profiles_jobs_dont_scale_with_graph_count(spark):
+    """More graphs must NOT mean more jobs — the graph id is a grouping
+    key, not a driver loop (the reference iterates one KG per loop pass,
+    i.e. jobs = O(graphs)). Measured over ONE source table whose graph id
+    is a derived column (the realistic input shape: a partitioned triples
+    table); a unionByName-of-N-branches input would add scan legs per
+    branch, which is input shape, not operator behavior."""
+    from pyspark.sql import functions as F
+
+    preds = ["http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             "http://www.w3.org/2000/01/rdf-schema#label",
+             "http://purl.org/dc/terms/title",
+             "http://purl.org/dc/terms/subject"]
+    base = spark.range(600).select(
+        F.concat(F.lit("http://d/s"), (F.col("id") % 50).cast("string")).alias("subj"),
+        F.element_at(F.array(*[F.lit(p) for p in preds]),
+                     (F.col("id") % 4 + 1).cast("int")).alias("pred"),
+        F.concat(F.lit("http://v/C"), (F.col("id") % 7).cast("string")).alias("obj"),
+        (F.col("id") % 2 == 0).alias("obj_is_iri"),
+    )
+
+    def run(n_graphs: int) -> int:
+        mg = base.withColumn("g", F.concat(
+            F.lit("http://g/"),
+            (F.pmod(F.xxhash64("subj", "obj"), F.lit(n_graphs))).cast("string")))
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup() or [])
+        profile.build_profiles(mg, "g").collect()
+        return len(set(tracker.getJobIdsForGroup() or []) - before)
+
+    run(3)  # warm: codegen/AQE first-run jobs don't count
+    assert run(27) <= run(1) + 1, "jobs grew with graph count"
