@@ -122,17 +122,25 @@ def knn_join(
 
 
 def derive_lsh_params(
-    n: int, k0: int = 4, n0: int = 5_000, l0: int = 48,
+    n: int, k0: int = 4, n0: int = 2_000, l0: int = 48,
 ) -> tuple[int, int]:
     """Occupancy-preserving LSH sizing for an n-row corpus.
 
     k = k0 + ceil(log2(n / n0)) holds expected bucket occupancy (n / 2^k)
     constant as the corpus grows — with k fixed the bucket self-join
     degrades O(n² / 2^k). L doubles for every 4 extra planes
-    (L = l0 · 2^((k-k0)/4)), the empirically-validated recall compensation:
-    the 10× decorrelated-replica bench (BENCH/BASELINE.md, tools/
-    neardup_scale_bench.py) measured derived 8×96 returning 98% of the
-    4×48 verified pairs at 31% of the wall (69s vs 218s)."""
+    (L = l0 · 2^((k-k0)/4)), the empirically-validated recall compensation.
+    The (k0, n0, l0) calibration point is the sf0.1 embeddings table
+    (2,000 vectors, 4×48); the 10× decorrelated-replica bench (BENCH/
+    BASELINE.md "ANN LSH scale rule" table) measured the derived 8×96 at
+    20k vectors returning 98-100% of the verified pairs at ~1/3 the wall
+    of under-derived settings. Under-deriving k is the expensive failure
+    mode on CLUSTERED embeddings (sign bits collide far above the uniform
+    rate, so bucket joins blow up quadratically): 6 planes at 20k measured
+    2.8× slower than 8. Beyond the rule, k trades recall for wall along a
+    measured curve (BENCH table: k=12 → 81% pairs at 1/3 wall at
+    threshold 0.48; tighter thresholds push p = 1-θ/π toward 1 and make
+    higher k nearly free)."""
     import math
 
     k = k0 if n <= n0 else k0 + math.ceil(math.log2(n / n0))

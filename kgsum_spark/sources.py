@@ -173,7 +173,11 @@ def sniff_and_read(spark: SparkSession, path: str) -> DataFrame:
     fmt = sniff_format(sample)
     return {
         "nt": read_ntriples,
-        "turtle": read_turtle,
+        # parse_n3 is a strict Turtle superset (tested), so the sniffed
+        # 'turtle' bucket dispatches to read_n3: an extensionless N3 doc
+        # (is..of / @keywords sugar) parses instead of erroring, and pure
+        # Turtle yields identical triples either way.
+        "turtle": read_n3,
         "trig": read_trig,
         "xml": read_rdfxml,
     }[fmt](spark, path)

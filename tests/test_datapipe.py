@@ -621,16 +621,17 @@ def test_spread_no_shuffle_for_large_single_splittable_file(spark, tmp_path):
 
 def test_derive_lsh_params_scale_rule():
     """VERDICT r3: the occupancy rule is the DEFAULT. At the calibration
-    point (n0=5k) the defaults are 4x48; at 10x the derived params match
-    the measured-good tuning (8x96, BENCH/BASELINE.md); growth is
-    logarithmic (one extra plane per doubling)."""
+    point (the 2k-vector sf0.1 embeddings table) the defaults are 4x48; at
+    the measured 10x point (20k vectors) the derived params match the
+    measured-good tuning (8x96, BENCH/BASELINE.md); growth is logarithmic
+    (one extra plane per doubling)."""
     from kgsum_spark.datapipe.similarity import derive_lsh_params
 
-    assert derive_lsh_params(5_000) == (4, 48)
-    assert derive_lsh_params(1_000) == (4, 48)       # never below floor
-    assert derive_lsh_params(50_000) == (8, 96)      # the measured 10x point
+    assert derive_lsh_params(2_000) == (4, 48)
+    assert derive_lsh_params(500) == (4, 48)         # never below floor
+    assert derive_lsh_params(20_000) == (8, 96)      # the measured 10x point
     k1, l1 = derive_lsh_params(10**9)
-    assert k1 == 4 + 18 and l1 == round(48 * 2 ** (18 / 4))
+    assert k1 == 4 + 19 and l1 == round(48 * 2 ** (19 / 4))
 
 
 def test_multi_lsh_candidates_derives_params_from_count(spark):
