@@ -17,7 +17,8 @@ column-sorted value hash matches. Cross-engine discipline:
 - doubles appear only where both engines compute bit-identical results
   (single divisions; sequential dot products on double arrays).
 
-Every entry is oracled — 78 pairs as of r3. The former rows-only ops are
+Every entry is oracled — 82 pairs as of r4 (adds N3 + CSV/JSON scans +
+the one-pass multi-graph profile battery). The former rows-only ops are
 SQL-checkable: the KG pipeline's connected components via a WITH RECURSIVE
 min-label fixpoint; MinHash/ANN surfaces emit exact-verified values
 (Jaccard/cosine) so LSH only prunes; SimHash uses an md5-based portable
@@ -1262,6 +1263,45 @@ def s1_n3_roundtrip(spark, sf):
     ).orderBy("s", "p", "o")
 
 
+def s2_csv_catalog(spark, sf):
+    """S2 CSV catalog scan under the driver gate (r4): write an events
+    slice as a real CSV directory, re-read it through
+    sources.read_catalog_csv with an explicit schema (never inferSchema —
+    reference analog pd.read_csv, /root/reference/src/util.py:147-149),
+    and emit the rows. Doubles round-trip exactly (Spark writes the
+    shortest repr; both engines re-parse the same decimal)."""
+    import os
+
+    from kgsum_spark.sources import read_catalog_csv
+
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 500).select(
+        F.col("event_id").cast("long"), "event_type", "value")
+    path = f"/tmp/kgsum_s2_csv_{os.path.basename(sf.rstrip('/'))}"
+    e.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    t = read_catalog_csv(
+        spark, path, "event_id bigint, event_type string, value double")
+    return t.orderBy("event_id")
+
+
+def s3_json_shards(spark, sf):
+    """S3 JSON shard scan under the driver gate (r4): write an events
+    slice as JSON-lines shards, re-read through sources.read_json_shards
+    with an explicit schema (reference analog
+    pd.read_json(orient='records'), /root/reference/src/util.py:221-228)."""
+    import os
+
+    from kgsum_spark.sources import read_json_shards
+
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 500).select(
+        F.col("event_id").cast("long"), "event_type",
+        F.col("user_id").cast("long"))
+    path = f"/tmp/kgsum_s3_json_{os.path.basename(sf.rstrip('/'))}"
+    e.coalesce(2).write.mode("overwrite").json(path)
+    t = read_json_shards(
+        spark, path, "event_id long, event_type string, user_id long")
+    return t.orderBy("event_id")
+
+
 def kg_multi_profiles(spark, sf):
     """Multi-graph profile battery (r4): EVERY graph's profile in ONE pass
     (profile.build_profiles) — the reference loops create_local_dataset
@@ -1576,6 +1616,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_trig_roundtrip": s1_trig_roundtrip,
         "s1_rdfxml_roundtrip": s1_rdfxml_roundtrip,
         "s1_n3_roundtrip": s1_n3_roundtrip,
+        "s2_csv_catalog": s2_csv_catalog,
+        "s3_json_shards": s3_json_shards,
         "kg_multi_profiles": kg_multi_profiles,
         "dedup_ngram_prefix": dedup_ngram_prefix,
         "j8_asof_join": j8_asof_join,
@@ -2498,6 +2540,15 @@ def oracle_sql() -> dict[str, str]:
                        'http://www.w3.org/2002/07/owl#sameAs',
                        'http://ex/same' || k, TRUE FROM ids
             ) ORDER BY s, p, o
+        """,
+        "s2_csv_catalog": """
+            SELECT CAST(event_id AS BIGINT) AS event_id, event_type, value
+            FROM events WHERE event_id < 500 ORDER BY event_id
+        """,
+        "s3_json_shards": """
+            SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+                   CAST(user_id AS BIGINT) AS user_id
+            FROM events WHERE event_id < 500 ORDER BY event_id
         """,
         "kg_multi_profiles": """
             WITH ev AS (
