@@ -128,3 +128,37 @@ def test_rdfxml_literal_roundtrip(lit):
     assert len(rows) == 1
     assert rows[0][2] == (lit or "")
     assert rows[0][3] is False
+
+
+# --- r4: N3 sugar ----------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(
+    st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True),
+    st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True),
+    st.sampled_from(["plain", "has", "is_of", "same"]),
+), min_size=1, max_size=20))
+def test_n3_sugar_desugars_to_plain_triples(stmts):
+    """Every N3 sugar form desugars to the same triple its plain-Turtle
+    equivalent yields; `is p of` swaps subject and object."""
+    from kgsum_spark.sources import parse_n3
+
+    owl_same = "http://www.w3.org/2002/07/owl#sameAs"
+    lines, expected = [], []
+    for s, o, form in stmts:
+        if form == "plain":
+            lines.append(f"ex:{s} ex:p ex:{o} .")
+            expected.append((f"http://ex/{s}", "http://ex/p", f"http://ex/{o}"))
+        elif form == "has":
+            lines.append(f"ex:{s} has ex:p ex:{o} .")
+            expected.append((f"http://ex/{s}", "http://ex/p", f"http://ex/{o}"))
+        elif form == "is_of":
+            lines.append(f"ex:{s} is ex:p of ex:{o} .")
+            expected.append((f"http://ex/{o}", "http://ex/p", f"http://ex/{s}"))
+        else:
+            lines.append(f"ex:{s} = ex:{o} .")
+            expected.append((f"http://ex/{s}", owl_same, f"http://ex/{o}"))
+    doc = "@prefix ex: <http://ex/> .\n" + "\n".join(lines)
+    rows = parse_n3(doc)
+    assert [(r[0], r[1], r[2]) for r in rows] == expected

@@ -453,3 +453,16 @@ def test_read_n3_matches_nt_twin(spark, tmp_path):
     t2 = {tuple(r) for r in
           sources.guess_and_read(spark, str(nt)).select(*cols).collect()}
     assert t1 == t2 and len(t1) == 3
+
+
+def test_sniff_and_read_extensionless_n3(spark, tmp_path):
+    """An extensionless doc with N3 sugar sniffs as 'turtle' and must
+    still parse — the sniffed-turtle bucket dispatches to read_n3 (a
+    strict Turtle superset)."""
+    p = tmp_path / "data_noext"
+    p.write_text("@prefix ex: <http://ex/> .\n"
+                 "ex:d is ex:b of ex:a .\nex:a ex:l \"x\" .\n")
+    rows = {(r["s"], r["p"], r["o"]) for r in
+            sources.sniff_and_read(spark, str(p)).collect()}
+    assert rows == {("http://ex/a", "http://ex/b", "http://ex/d"),
+                    ("http://ex/a", "http://ex/l", "x")}
