@@ -133,6 +133,7 @@ def streaming_minhash_signatures(
     stream: DataFrame, sig_path: str, checkpoint: str,
     id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, num_perm: int = 64, seed: int = 42,
+    files_per_epoch: int | None = None,
 ):
     """Streaming NEAR-dup, stage 1: per micro-batch, compute MinHash
     signatures for the batch's documents and write them to a parquet
@@ -153,6 +154,13 @@ def streaming_minhash_signatures(
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         sigs = minhash_signatures(batch, id_col, text_col, n, num_perm, seed)
+        if files_per_epoch is not None:
+            # Long-running streams write epochs forever: without a bound
+            # each epoch emits defaultParallelism files and the store the
+            # periodic refresh scans accumulates task-count x epoch tiny
+            # files. Size this to ~128MB-target files for the epoch's
+            # signature volume (num_perm longs per doc).
+            sigs = sigs.coalesce(max(files_per_epoch, 1))
         (sigs.withColumn("epoch", F.lit(epoch_id))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")

@@ -256,3 +256,27 @@ def test_streaming_signature_write_is_idempotent_per_epoch(spark, tmp_path):
     second = sorted(tuple(r) for r in
                     spark.read.parquet(sig_path).select("id", "epoch").collect())
     assert first == second  # no duplicated epoch rows
+
+
+def test_streaming_signatures_files_per_epoch(spark, tmp_path):
+    """files_per_epoch bounds the per-epoch file count (tiny-file control
+    for long-running streams feeding the periodic refresh)."""
+    import glob
+
+    from kgsum_spark.streaming import streaming_minhash_signatures
+
+    docs_schema = "doc_id long, text string"
+    src = tmp_path / "fpe_src"
+    spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma") for i in range(40)],
+        docs_schema).coalesce(1).write.mode("append").parquet(str(src))
+    sig_path = str(tmp_path / "fpe_sigs")
+    stream = (spark.readStream.schema(docs_schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = streaming_minhash_signatures(
+        stream, sig_path, str(tmp_path / "fpe_ckpt"), n=2, files_per_epoch=1)
+    q.awaitTermination(120)
+    for epoch_dir in glob.glob(sig_path + "/epoch=*"):
+        files = [f for f in glob.glob(epoch_dir + "/*.parquet")]
+        assert len(files) == 1, epoch_dir
+    assert spark.read.parquet(sig_path).count() == 40
