@@ -14,6 +14,7 @@ This container ships neither spaCy nor sklearn, so:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,18 +40,157 @@ def hybrid_tokenize(text: Column) -> Column:
     )
 
 
-def normalize_tokens(text: Column, lang: str = "en") -> Column:
-    """N2 analog — lowercase word tokens minus stopwords/punct, with a
-    naive suffix stemmer standing in for lemmatization (spaCy pipeline
-    table at /root/reference/src/preprocessing.py:21-77; not shipped here,
-    and the correctness path deliberately avoids model-version drift —
-    SURVEY.md §7 hard-part 1)."""
+def normalize_tokens(text: Column, lang: str = "en",
+                     stemmer: str = "suffix") -> Column:
+    """N2 analog — lowercase word tokens minus stopwords/punct, stemmed
+    (the deterministic stand-in for spaCy lemmatization, reference
+    pipeline table at /root/reference/src/preprocessing.py:21-77; the
+    correctness path deliberately avoids model-version drift — SURVEY.md
+    §7 hard-part 1).
+
+    stemmer="suffix" (default): a cheap JVM regex suffix stripper — whole
+    expression stays in codegen, the hot-path choice. stemmer="porter":
+    the full published Porter algorithm (porter_stem below) via an
+    Arrow-batched pandas UDF — linguistically standard stems at pandas-UDF
+    cost; use for English quality-sensitive offline passes."""
+    if stemmer == "porter":
+        stopset = set(STOPWORDS.get(lang, STOPWORDS["en"]))
+
+        @F.pandas_udf("array<string>")
+        def _porter_tokens(texts: pd.Series) -> pd.Series:
+            import re
+
+            word_re = re.compile(r"[a-z][a-z0-9]+")
+            return texts.fillna("").map(
+                lambda t: [porter_stem(w) for w in word_re.findall(t.lower())
+                           if w not in stopset])
+
+        return _porter_tokens(text)
     sw = F.array(*[F.lit(w) for w in STOPWORDS.get(lang, STOPWORDS["en"])])
     toks = F.regexp_extract_all(F.lower(text), F.lit(r"[a-z][a-z0-9]+"), F.lit(0))
     kept = F.filter(toks, lambda t: ~F.array_contains(sw, t))
     # order matters: longest suffix first; keep stems of length ≥ 3
     stem = lambda t: F.regexp_replace(t, r"(ings?|eds?|ly|es|s)$", "")  # noqa: E731
     return F.transform(kept, lambda t: F.when(F.length(stem(t)) >= 3, stem(t)).otherwise(t))
+
+
+# --- N2: Porter stemmer (r4) ------------------------------------------------
+#
+# The published suffix-stripping algorithm (M. F. Porter, "An algorithm
+# for suffix stripping", Program 14(3), 1980 — public knowledge), steps
+# 1a-5b, with the standard measure/vowel/double-consonant/*o conditions.
+# Pure function: unit-tested against the paper's own example vocabulary.
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in "aeiou":
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m in [C](VC)^m[V]: the number of vowel→consonant transitions."""
+    m, prev_vowel = 0, False
+    for i in range(len(stem)):
+        if not _is_cons(stem, i):
+            prev_vowel = True
+        elif prev_vowel:
+            m += 1
+            prev_vowel = False
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_cvc(w: str) -> bool:
+    """*o condition: stem ends consonant-vowel-consonant, final not w/x/y."""
+    return (len(w) >= 3 and _is_cons(w, len(w) - 3)
+            and not _is_cons(w, len(w) - 2) and _is_cons(w, len(w) - 1)
+            and w[-1] not in "wxy")
+
+
+def porter_stem(word: str) -> str:
+    """Stem one lowercase word per the published Porter (1980) algorithm."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+
+    def repl(suffix: str, rep: str, min_m: int) -> bool:
+        nonlocal w
+        if w.endswith(suffix):
+            stem = w[: len(w) - len(suffix)]
+            if _measure(stem) > min_m - 1:
+                w = stem + rep
+                return True
+        return False
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif (w.endswith("ed") and _has_vowel(w[:-2])) or \
+            (w.endswith("ing") and _has_vowel(w[:-3])):
+        w = w[:-2] if w.endswith("ed") else w[:-3]
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+              and w[-1] not in "lsz"):
+            w = w[:-1]
+        elif _measure(w) == 1 and _ends_cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2 (m > 0)
+    for suf, rep in (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+                     ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+                     ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+                     ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+                     ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+                     ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+                     ("iviti", "ive"), ("biliti", "ble")):
+        if repl(suf, rep, 1):
+            break
+    # step 3 (m > 0)
+    for suf, rep in (("icate", "ic"), ("ative", ""), ("alize", "al"),
+                     ("iciti", "ic"), ("ical", "ic"), ("ful", ""),
+                     ("ness", "")):
+        if repl(suf, rep, 1):
+            break
+    # step 4 (m > 1)
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+                "ous", "ive", "ize"):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                continue
+            if _measure(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _measure(w) > 1 and len(w) >= 2 and w[-1] == "l" and w[-2] == "l":
+        w = w[:-1]
+    return w
 
 
 # N3 — entity mention + coarse type detection. The reference extracts only

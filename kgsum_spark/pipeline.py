@@ -42,9 +42,17 @@ def _marker_path(work_dir: str, stage: str) -> str:
 
 
 def _stage_done(work_dir: str, stage: str) -> bool:
-    return os.path.exists(_marker_path(work_dir, stage)) and os.path.exists(
-        os.path.join(work_dir, stage)
-    )
+    """A stage counts as done only if its marker parses and its data dir
+    exists — a torn/corrupt marker (crash mid-json-dump) must trigger
+    recompute, not a resume-time crash."""
+    if not os.path.exists(os.path.join(work_dir, stage)):
+        return False
+    try:
+        with open(_marker_path(work_dir, stage)) as f:
+            json.load(f)
+        return True
+    except (OSError, ValueError):
+        return False
 
 
 def _footer_lineage(path: str) -> list[dict]:
@@ -115,9 +123,17 @@ def run_pipeline(
     transcripts: DataFrame,
     work_dir: str,
     resume: bool = True,
-    use_salted_join: bool = False,
+    use_salted_join: bool | str = False,
     n_salts: int = 8,
+    auto_salt_threshold: int = 20_000_000,
 ) -> PipelineResult:
+    """use_salted_join: False = broadcast map (zero shuffle on the big
+    side — right whenever the canonical map fits executors), True = salted
+    shuffle join (skew-proof fallback), "auto" = decide from the entities
+    stage's own marker row count (metadata already on disk, no extra job):
+    a vocabulary beyond auto_salt_threshold rows (~1 GB at 50 B/row) won't
+    broadcast, so the salted path is taken. Both paths are parity-proven
+    (tools/salted_bench.py, 16.4M turns)."""
     os.makedirs(work_dir, exist_ok=True)
     metrics: dict = {"stages": {}, "resumed": []}
 
@@ -171,7 +187,14 @@ def run_pipeline(
         omap = entities.select(
             F.col("norm").alias("obj_norm"), F.col("canonical_id").alias("obj_canon")
         )
-        if use_salted_join:
+        if use_salted_join == "auto":
+            with open(_marker_path(work_dir, "entities")) as f:
+                n_vocab = json.load(f)["rows"]
+            salt_it = n_vocab > auto_salt_threshold
+            metrics["salted_join"] = salt_it
+        else:
+            salt_it = bool(use_salted_join)
+        if salt_it:
             t = salted_broadcast_map(t, smap, "subj_norm", n_salts)
             t = salted_broadcast_map(t, omap, "obj_norm", n_salts)
         else:

@@ -177,3 +177,67 @@ def test_n8_latent_classifier(labeled_docs):
         "label", F.col("prediction_label").alias("pred"))
     m = {r["cls"]: r for r in classification_metrics(pred, "label", "pred").collect()}
     assert m["tech"]["f1"] > 0.9 and m["food"]["f1"] > 0.9
+
+
+def test_porter_stem_published_vectors():
+    """Porter (1980) — the paper's own step examples must hold."""
+    from kgsum_spark.nlp import porter_stem
+
+    vectors = {
+        # step 1a
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat",
+        # step 1b (+ cleanup)
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "troubled": "troubl", "sized": "size",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file",
+        # step 1c
+        "happy": "happi", "sky": "sky",
+        # step 2
+        "relational": "relat", "conditional": "condit",
+        "rational": "ration", "valenci": "valenc", "hesitanci": "hesit",
+        "digitizer": "digit", "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        # step 3
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good",
+        # step 4
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+        "communism": "commun", "activate": "activ",
+        "angulariti": "angular", "effective": "effect",
+        # step 5
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+    }
+    wrong = {w: (porter_stem(w), want) for w, want in vectors.items()
+             if porter_stem(w) != want}
+    assert not wrong, wrong
+
+
+def test_normalize_tokens_porter_column(spark):
+    """The porter stemmer column path (pandas UDF) stems and drops
+    stopwords like the JVM path."""
+    from pyspark.sql import functions as F
+
+    from kgsum_spark.nlp import normalize_tokens
+
+    df = spark.createDataFrame(
+        [("The operators were adjusting the gyroscopic instruments",)],
+        "text string")
+    got = df.select(
+        normalize_tokens(F.col("text"), stemmer="porter").alias("toks")
+    ).first()["toks"]
+    assert "oper" in got and "adjust" in got and "gyroscop" in got
+    assert "the" not in got  # stopword dropped ("were" is not in the 40-word list)

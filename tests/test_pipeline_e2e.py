@@ -93,3 +93,51 @@ def test_salted_join_same_triples(spark, transcripts_df, tmp_path, baseline_set)
 def test_pred_partitioned_layout(work_dir):
     parts = os.listdir(os.path.join(work_dir, "triples"))
     assert any(p.startswith("pred=") for p in parts)
+
+
+def test_corrupt_marker_triggers_recompute(spark, transcripts_df, tmp_path_factory):
+    """A torn marker (crash mid-json-dump) must recompute the stage on
+    resume, not crash or trust the partial checkpoint."""
+    import json
+    import os
+
+    from kgsum_spark.pipeline import run_pipeline
+
+    wd = str(tmp_path_factory.mktemp("corrupt"))
+    first = run_pipeline(spark, transcripts_df, wd, resume=False)
+    expect = {tuple(r) for r in
+              first.triples.select("subj", "pred", "obj").distinct().collect()}
+    with open(os.path.join(wd, "_MARKER_triples.json"), "w") as f:
+        f.write('{"stage": "triples", "rows":')  # torn write
+    res = run_pipeline(spark, transcripts_df, wd, resume=True)
+    assert "triples" not in res.metrics["resumed"]
+    assert {"raw_triples", "entities"} <= set(res.metrics["resumed"])
+    got = {tuple(r) for r in
+           res.triples.select("subj", "pred", "obj").distinct().collect()}
+    assert got == expect
+    with open(os.path.join(wd, "_MARKER_triples.json")) as f:
+        assert json.load(f)["rows"] > 0  # marker rewritten whole
+
+
+def test_auto_salted_join_parity(spark, transcripts_df, tmp_path_factory):
+    """use_salted_join='auto' with a tiny threshold must take the salted
+    path and produce the identical triple set as the broadcast path."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from kgsum_spark.pipeline import run_pipeline
+
+    wd_b = str(tmp_path_factory.mktemp("autosalt_b"))
+    base = run_pipeline(spark, transcripts_df, wd_b, resume=False)
+    expect = {tuple(r) for r in
+              base.triples.select("subj", "pred", "obj").distinct().collect()}
+    wd_s = str(tmp_path_factory.mktemp("autosalt_s"))
+    salted = run_pipeline(spark, transcripts_df, wd_s, resume=False,
+                          use_salted_join="auto", auto_salt_threshold=1)
+    assert salted.metrics["salted_join"] is True
+    got = {tuple(r) for r in
+           salted.triples.select("subj", "pred", "obj").distinct().collect()}
+    assert got == expect
+    wd_a = str(tmp_path_factory.mktemp("autosalt_a"))
+    auto = run_pipeline(spark, transcripts_df, wd_a, resume=False,
+                        use_salted_join="auto")  # default threshold: broadcast
+    assert auto.metrics["salted_join"] is False
