@@ -45,18 +45,45 @@ TRIPLES_NT_SCHEMA = (
     "o_datatype string, g string"
 )
 
-# ECHAR decode map (W3C N-Triples grammar). Decoding MUST be a single
-# left-to-right pass: sequential str.replace corrupts inputs like the
-# encoded 'C:\\new' (raw C:\new), where the \n rule would eat half of \\.
+# ECHAR + UCHAR decode (W3C N-Triples grammar: ECHAR for the short
+# escapes, UCHAR \uXXXX / \UXXXXXXXX for arbitrary code points — real
+# dumps use \u escapes heavily, and rdflib — the reference parser —
+# decodes them). Decoding MUST be a single left-to-right pass: sequential
+# str.replace corrupts inputs like the encoded 'C:\\new' (raw C:\new),
+# where the \n rule would eat half of \\, and '\\u0041' (a literal
+# backslash-u) must NOT decode to 'A'.
 _ECHAR = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
           "\\": "\\", '"': '"', "'": "'"}
-_ECHAR_RE = r"\\([ntrbf\\\"'])"
+_ESCAPE_RE = r"\\([ntrbf\\\"'])|\\u([0-9a-fA-F]{4})|\\U([0-9a-fA-F]{8})"
+_UCHAR_RE = r"\\u([0-9a-fA-F]{4})|\\U([0-9a-fA-F]{8})"
+
+
+def _decode_escape_match(m) -> str:
+    if m.group(1) is not None:
+        return _ECHAR[m.group(1)]
+    cp = int(m.group(2) or m.group(3), 16)
+    if 0xD800 <= cp <= 0xDFFF:  # lone surrogate: invalid — keep the escape
+        return m.group(0)
+    return chr(cp)
 
 
 def _unescape_echar(lit: pd.Series) -> pd.Series:
+    """One-pass ECHAR+UCHAR decode for literal values."""
     return lit.str.replace(
-        _ECHAR_RE, lambda m: _ECHAR[m.group(1)], regex=True
+        _ESCAPE_RE, _decode_escape_match, regex=True
     )
+
+
+def _decode_uchar_match(m) -> str:
+    cp = int(m.group(1) or m.group(2), 16)
+    if 0xD800 <= cp <= 0xDFFF:  # lone surrogate: invalid — keep the escape
+        return m.group(0)
+    return chr(cp)
+
+
+def _unescape_uchar(iri: pd.Series) -> pd.Series:
+    """IRIs allow only UCHAR escapes (no ECHAR per the grammar)."""
+    return iri.str.replace(_UCHAR_RE, _decode_uchar_match, regex=True)
 
 
 def _parse_nt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -72,15 +99,25 @@ def _parse_nt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         if cap.empty:
             continue
         o_lit = _unescape_echar(cap["o_lit"])
+        # UCHAR escapes in IRI positions (é etc., common in real
+        # dumps): decode only when the batch actually contains any —
+        # the probe is one vectorized substring scan, the decode five.
+        iri = {k: cap[k] for k in ("s_iri", "p", "o_iri", "o_dt", "g")}
+        if any(
+            col.str.contains("\\u", regex=False, na=False).any()
+            or col.str.contains("\\U", regex=False, na=False).any()
+            for col in iri.values()
+        ):
+            iri = {k: _unescape_uchar(v) for k, v in iri.items()}
         out = pd.DataFrame(
             {
-                "s": cap["s_iri"].fillna(cap["s_bnode"]),
-                "p": cap["p"],
-                "o": cap["o_iri"].fillna(cap["o_bnode"]).fillna(o_lit),
+                "s": iri["s_iri"].fillna(cap["s_bnode"]),
+                "p": iri["p"],
+                "o": iri["o_iri"].fillna(cap["o_bnode"]).fillna(o_lit),
                 "o_is_iri": cap["o_iri"].notna(),
                 "o_lang": cap["o_lang"],
-                "o_datatype": cap["o_dt"],
-                "g": cap["g"].fillna(cap["g_bnode"]),
+                "o_datatype": iri["o_dt"],
+                "g": iri["g"].fillna(cap["g_bnode"]),
             }
         )
         yield out
@@ -249,7 +286,8 @@ _TTL_TOKEN = __import__("re").compile(
       (?P<comment>\#[^\n]*)
     | (?P<lstr>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
     | (?P<str>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
-    | (?P<iri><[^<>"{}|^`\\\x00-\x20]*>)
+      # IRIREF ::= '<' ([^#x00-#x20<>"{}|^`\] | UCHAR)* '>'
+    | (?P<iri><(?:[^<>"{}|^`\\\x00-\x20]|\\u[0-9a-fA-F]{4}|\\U[0-9a-fA-F]{8})*>)
     | (?P<kw>@prefix|@base|(?i:PREFIX|BASE)(?=[\s<]))
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<dtype>\^\^)
@@ -354,6 +392,8 @@ def _parse_ttl_family(text: str, allow_graphs: bool,
 
     def resolve_iri(tok: str) -> str:
         iri = tok[1:-1]
+        if "\\" in iri:  # IRIREF admits UCHAR escapes (Turtle grammar)
+            iri = re.sub(_UCHAR_RE, _decode_uchar_match, iri)
         if base[0] and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
             return base[0] + iri
         return iri
@@ -373,9 +413,9 @@ def _parse_ttl_family(text: str, allow_graphs: bool,
 
     def unquote(tok: str) -> str:
         body = tok[3:-3] if tok[:3] in ('"""', "'''") else tok[1:-1]
-        return re.sub(
-            r"\\([ntrbf\\\"'])", lambda m: _ECHAR[m.group(1)], body
-        )
+        # STRING_LITERAL* ::= ... (ECHAR | UCHAR) — same one-pass decode
+        # as the N-Triples reader so all five formats agree.
+        return re.sub(_ESCAPE_RE, _decode_escape_match, body)
 
     def emit(subj, pred, obj):
         if obj[0] == "lit":

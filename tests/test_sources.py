@@ -466,3 +466,49 @@ def test_sniff_and_read_extensionless_n3(spark, tmp_path):
             sources.sniff_and_read(spark, str(p)).collect()}
     assert rows == {("http://ex/a", "http://ex/b", "http://ex/d"),
                     ("http://ex/a", "http://ex/l", "x")}
+
+
+# --- r4: UCHAR (\uXXXX / \UXXXXXXXX) escapes ---------------------------------
+
+UCHAR_NT = """\
+<http://d/caf\\u00E9> <http://ex/p> "caf\\u00E9 \\U0001F600" .
+<http://d/s> <http://ex/lit> "literal \\\\u0041 backslash-u" .
+<http://d/s> <http://ex/bad> "lone \\uD800 surrogate" .
+"""
+
+
+def test_nt_uchar_decode(spark, tmp_path):
+    """rdflib (the reference parser, /root/reference/src/dataset_preparation.py)
+    decodes UCHAR escapes in both IRI and literal positions; real LOD dumps
+    use them heavily. A literal backslash-u (encoded \\\\u0041) must NOT
+    decode, and a lone surrogate keeps its escape verbatim."""
+    p = tmp_path / "uchar.nt"
+    p.write_text(UCHAR_NT)
+    rows = {(r["s"], r["p"]): r["o"] for r in
+            sources.read_ntriples(spark, str(p)).collect()}
+    assert rows[("http://d/café", "http://ex/p")] == "café \U0001F600"
+    assert rows[("http://d/s", "http://ex/lit")] == "literal \\u0041 backslash-u"
+    assert rows[("http://d/s", "http://ex/bad")] == "lone \\uD800 surrogate"
+
+
+def test_turtle_uchar_decode():
+    rows = sources.parse_turtle(
+        '@prefix ex: <http://ex/> .\n'
+        '<http://d/caf\\u00E9> ex:p "na\\u00EFve \\U0001F600" .\n'
+    )
+    assert rows == [("http://d/café", "http://ex/p",
+                     "naïve \U0001F600", False, None, None, None)]
+
+
+def test_nt_uchar_sink_roundtrip(spark, tmp_path):
+    """Decoded code points are written back as raw UTF-8 by the sink and
+    survive a second read; a literal backslash-u survives the re-escape."""
+    hard = ["café \U0001F600", "literal \\u0041 backslash-u"]
+    df = spark.createDataFrame(
+        [("http://d/s", f"http://ex/p{i}", o, False) for i, o in enumerate(hard)],
+        "s string, p string, o string, o_is_iri boolean",
+    )
+    out = str(tmp_path / "uchar_rt.nt")
+    sources.nt_lines_from_triples(df).coalesce(1).write.mode("overwrite").text(out)
+    got = {r["p"]: r["o"] for r in sources.read_ntriples(spark, out).collect()}
+    assert got == {f"http://ex/p{i}": o for i, o in enumerate(hard)}
