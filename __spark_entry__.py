@@ -1447,11 +1447,15 @@ def kg_pipeline_triples(spark, sf):
     from events columns, recomputes token-Jaccard/sameAs edges in SQL, and
     closes components with a WITH RECURSIVE min-label fixpoint."""
     from kgsum_spark.canonicalize import canonical_map
+    from kgsum_spark.datapipe._util import persist_tracked
     from kgsum_spark.linking import all_edges
 
     events = _t(spark, sf, "events")
     turns = assemble_turns(_events_as_transcripts_linked(events)).drop("rn")
-    raw = extract_raw_triples(turns)
+    # Three consumers pull the extraction output (CC node collect, edge
+    # collect, final canonical join) — persist so the mapInPandas pass
+    # runs once, mirroring run_pipeline's parquet stage checkpoint.
+    raw = persist_tracked(extract_raw_triples(turns))
     mentions = mentions_from_raw(raw)
     ent = canonical_map(mentions.select("norm").distinct(), all_edges(mentions, raw))
     norm = lambda col: F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))  # noqa: E731

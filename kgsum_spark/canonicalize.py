@@ -29,12 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _driver_cc(spark, lab: DataFrame, edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: classic union-find on the driver. The
-    iterative DataFrame loop costs ~10 s of fixed multi-job latency per
-    run; a vocabulary-sized graph under the threshold is a few MB — solve
-    it in milliseconds and ship the map back. Same deterministic min-label
-    semantics as the distributed loop (tests assert equality)."""
+def _driver_cc(spark, nodes_local: list, edges_local: list) -> DataFrame:
+    """Small-graph fast path: classic union-find on the driver over
+    already-collected node/edge lists. The iterative DataFrame loop costs
+    ~10 s of fixed multi-job latency per run; a vocabulary-sized graph
+    under the threshold is a few MB — solve it in milliseconds and ship
+    the map back. Same deterministic min-label semantics as the
+    distributed loop (tests assert equality)."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -45,8 +46,7 @@ def _driver_cc(spark, lab: DataFrame, edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    nodes_local = [r[0] for r in lab.select("node").collect()]
-    for a, b in edges.select("a", "b").collect():
+    for a, b in edges_local:
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
@@ -68,23 +68,36 @@ def connected_components(
     matters independently of the node gate: blocking-based similarity
     edges are O(block²), so a modest vocabulary with one hot block can
     produce tens of millions of edges — collecting those would OOM the
-    driver even though the node set fits. Convergence in the distributed
-    loop is decided from a `changed` flag computed inside the same round
-    (one aggregate over the just-checkpointed frame — no extra join);
-    max_iter is a safety bound, hit only on pathological inputs (a chain
-    of length 2^50).
+    driver even though the node set fits.
+
+    The gates are probed with capped collects (`limit(threshold+1)`):
+    for the common small-vocabulary case the probe IS the fetch, so the
+    fast path costs exactly two jobs (nodes, edges) instead of the
+    checkpoint+count+collect triple per side it used to — those four
+    extra scheduling-bound round-trips were ~half the entities stage's
+    fixed cost at bench scale. An over-threshold graph abandons the
+    capped rows and falls through to the distributed loop, which
+    re-materializes what it needs; that extra compute is noise next to
+    the loop itself. Convergence in the distributed loop is decided from
+    a `changed` flag computed inside the same round (one aggregate over
+    the just-checkpointed frame — no extra join); max_iter is a safety
+    bound, hit only on pathological inputs (a chain of length 2^50).
     """
-    lab = nodes.select(F.col("norm").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
+    node_plan = nodes.select(F.col("norm").alias("node")).distinct()
+    edge_plan = edges.select("a", "b")
+    node_rows = node_plan.limit(driver_threshold + 1).collect()
+    if len(node_rows) <= driver_threshold:
+        edge_rows = edge_plan.limit(driver_edge_threshold + 1).collect()
+        if len(edge_rows) <= driver_edge_threshold:
+            out = _driver_cc(
+                nodes.sparkSession,
+                [r[0] for r in node_rows],
+                [(r[0], r[1]) for r in edge_rows],
+            )
+            return out.select(F.col("node").alias("norm"), "label")
+    lab = node_plan.withColumn("label", F.col("node")).localCheckpoint()
     n_nodes = lab.count()
-    # One materialization serves the edge-count gate and whichever path
-    # runs (driver collect / distributed loop) — no double computation of
-    # the upstream similarity-edge plan.
-    edges = edges.select("a", "b").localCheckpoint()
-    if n_nodes <= driver_threshold and edges.count() <= driver_edge_threshold:
-        out = _driver_cc(nodes.sparkSession, lab, edges)
-        return out.select(F.col("node").alias("norm"), "label")
+    edges = edge_plan.localCheckpoint()
     nparts = max(2, min(int(n_nodes // rows_per_partition) + 1, 10_000))
     lab = lab.repartition(nparts, "node").localCheckpoint()
     sym = (

@@ -156,13 +156,16 @@ def run_pipeline(
     else:
         t0 = time.time()
         mentions = mentions_from_raw(raw)
-        # the vocabulary and edge frames are tiny (distinct norms, not
-        # occurrences) — materialize each once instead of rescanning the
-        # raw-triples parquet for every consumer
+        # the vocabulary is tiny (distinct norms, not occurrences) and has
+        # three consumers (both sides of the similarity self-join + the CC
+        # node set) — materialize it once. The edge frame has exactly ONE
+        # consumer (connected_components' capped gate-collect), so it is
+        # deliberately NOT checkpointed: an eager materialization here
+        # would be one more scheduling-bound job of pure fixed cost.
         from .linking import distinct_norms
 
         norms_tok = distinct_norms(mentions).localCheckpoint()
-        edges = all_edges(mentions, raw, norms=norms_tok).localCheckpoint()
+        edges = all_edges(mentions, raw, norms=norms_tok)
         entities = canonical_map(norms_tok.select("norm"), edges)
         metrics["stages"]["entities"] = _write_stage(entities, work_dir, "entities")
         metrics["stages"]["entities"]["stage_wall_sec"] = round(time.time() - t0, 3)
