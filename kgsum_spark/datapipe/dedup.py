@@ -170,7 +170,7 @@ def minhash_signatures(
 
 def minhash_lsh_candidates(
     sigs: DataFrame, bands: int = 16, rows_per_band: int = 4,
-    num_perm: int = 64,
+    num_perm: int = 64, max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of the signature, bucket-join docs that
     share any (band, band_hash) → candidate pairs (a, b). Estimated
@@ -182,7 +182,22 @@ def minhash_lsh_candidates(
     catches mismatched defaults early, and a per-row in-plan guard (zero
     extra jobs, one codegen'd branch) derives the ACTUAL signature length
     from the data, so a caller who built sigs with num_perm=8 but banded
-    with the 64-perm defaults gets a runtime error, not a silent O(n²)."""
+    with the 64-perm defaults gets a runtime error, not a silent O(n²).
+
+    max_bucket_size bounds the OTHER quadratic failure mode: a bucket of
+    m docs emits C(m,2) pairs, so one exact-template cluster (boilerplate
+    pages, replicated corpora) of 10^5 members means 5·10^9 candidate
+    rows from a single bucket. Buckets over the cap are dropped before
+    the self-join — the same hot-key surgery as the stop-shingle DF cap
+    in ngram_jaccard_pairs and the prefix filter's never-index-hot rule.
+    Recall cost is bounded: a truly similar pair collides in each of the
+    `bands` independent bands with probability p^rows_per_band, so it is
+    lost only if EVERY shared bucket exceeds the cap — which at cap m
+    means both docs sit in clusters of ≥m near-identical documents, a
+    regime exact dedup (hash-groupBy, no pair space) should consume
+    first. None (the default) preserves the oracled exact-verified
+    semantics; the streaming refresh sets a cap because its store grows
+    without a human in the loop."""
     need = bands * rows_per_band
     if need > num_perm:
         raise ValueError(
@@ -206,6 +221,18 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         "id", "sig", F.explode(guarded).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.bh")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        # one window count, partitioned on the join keys — the shuffle it
+        # introduces is the same (band, bh) hash partitioning the bucket
+        # self-join needs, so the join reuses it instead of adding one
+        bn = F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+        banded = (
+            banded.withColumn("_bn", bn)
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = banded.select(F.col("id").alias("a"), F.col("sig").alias("siga"), "band", "bh")
     b = banded.select(F.col("id").alias("b"), F.col("sig").alias("sigb"), "band", "bh")
     pairs = (

@@ -178,7 +178,7 @@ def neardup_refresh(
     spark: SparkSession, sig_path: str, docs: DataFrame,
     id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, num_perm: int = 64, bands: int = 32, rows_per_band: int = 2,
-    threshold: float = 0.5,
+    threshold: float = 0.5, max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Streaming NEAR-dup, stage 2 (periodic batch refresh): LSH-band the
     ACCUMULATED signature store (all epochs — pairs spanning micro-batches
@@ -186,7 +186,16 @@ def neardup_refresh(
     the document store, and return (a, b, jaccard >= threshold). Re-run on
     a schedule or after N appended epochs; cost is candidate-proportional,
     and the signature store is num_perm longs per doc (vocabulary-sized).
-    Re-ingested doc ids keep their latest signature (keep-last by epoch)."""
+    Re-ingested doc ids keep their latest signature (keep-last by epoch).
+
+    max_bucket_size defaults ON here (unlike the batch operators, whose
+    callers see their corpus): a long-running stream's store grows
+    unattended, and one boilerplate/exact-template cluster of m docs
+    would emit C(m,2) candidates from a single band bucket — the refresh
+    that worked at 5k docs hangs at 100k replicated (measured,
+    tools/streaming_bench.py). Capped buckets bound each refresh at
+    O(buckets · cap²) regardless of store skew; exact-template mass
+    belongs to exact dedup (hash-groupBy), not the pair space."""
     from pyspark.sql import Window
 
     from .datapipe.dedup import (exact_ngram_jaccard_on_pairs,
@@ -199,8 +208,9 @@ def neardup_refresh(
         .filter(F.col("_r") == 1)
         .select("id", "sig")
     )
-    cand = minhash_lsh_candidates(sigs, bands, rows_per_band, num_perm) \
-        .select("a", "b")
+    cand = minhash_lsh_candidates(
+        sigs, bands, rows_per_band, num_perm, max_bucket_size=max_bucket_size
+    ).select("a", "b")
     return (
         exact_ngram_jaccard_on_pairs(cand, docs, id_col, text_col, n)
         .filter(F.col("jaccard") >= threshold)

@@ -650,3 +650,29 @@ def test_multi_lsh_candidates_derives_params_from_count(spark):
     got = {(r["a"], r["b"]) for r in
            sim.multi_lsh_candidates(df, dim=8).collect()}
     assert (0, 1) in got
+
+
+def test_lsh_bucket_cap_drops_degenerate_cluster(spark):
+    """max_bucket_size: a 40-doc exact-template cluster (identical text →
+    identical signatures → every band bucket has 40 members) must emit ZERO
+    pairs under a cap of 20, while a genuine near-dup pair in a small
+    bucket survives. Uncapped, the same corpus emits C(40,2)=780 cluster
+    pairs — the quadratic regime that hung the 100k-doc streaming refresh."""
+    rows = [(i, "the exact same boilerplate page body repeated verbatim")
+            for i in range(40)]
+    rows += [(100, "unique aardvark zebra quokka document body"),
+             (101, "unique aardvark zebra quokka document text")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=3, num_perm=64)
+
+    capped = {(r["a"], r["b"]) for r in
+              dedup.minhash_lsh_candidates(sigs, bands=32, rows_per_band=2,
+                                           max_bucket_size=20).collect()}
+    assert (100, 101) in capped
+    assert all(a >= 100 and b >= 100 for a, b in capped)
+
+    uncapped = {(r["a"], r["b"]) for r in
+                dedup.minhash_lsh_candidates(sigs, bands=32,
+                                             rows_per_band=2).collect()}
+    assert (100, 101) in uncapped
+    assert sum(1 for a, b in uncapped if a < 100 and b < 100) == 780

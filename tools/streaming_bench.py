@@ -97,6 +97,40 @@ def main() -> None:
     n_pairs = pairs.count()
     refresh_wall = time.time() - t0
 
+    # Stage 3: refresh with one degenerate exact-template cluster injected
+    # — the regime neardup_refresh's max_bucket_size default exists for. A
+    # 20,000-copy template lands every copy in the same bucket in each of
+    # the 32 bands: ~C(20k,2) ≈ 2.0e8 candidate pairs (and that many
+    # 64-long signature rows through the verify join) from ONE document,
+    # before a single true near-dup is found. The cap drops those buckets,
+    # so refresh cost returns to the true-pair-proportional base corpus
+    # cost. (The full REPLICATED store is deliberately NOT the stage-3
+    # input: probing showed its candidate mass — 2e8 pairs — comes from
+    # mid-size buckets of genuinely-templated synthetic docs, max bucket
+    # 3,083 but p99.9 = 182, which no bucket cap can remove without
+    # removing the answer; a corpus where everything resembles everything
+    # has a quadratic near-dup RESULT, and belongs to exact dedup +
+    # stricter thresholds, not a bigger refresh box.)
+    cluster = (
+        spark.range(20_000)
+        .select((F.col("id") + 10_000_000).alias("doc_id"),
+                F.lit("common boilerplate template body that appears on "
+                      "every page of the mirrored site verbatim").alias("text"))
+    )
+    skewed = base_docs.select("doc_id", "text").unionByName(cluster)
+    src_skew = os.path.join(work, "src_skew")
+    skewed.repartition(4).write.parquet(src_skew)
+    skew_docs = spark.read.parquet(src_skew)
+    stream_s = (spark.readStream.schema(skew_docs.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src_skew))
+    sig_s = os.path.join(work, "sigs_skew")
+    q = streaming_minhash_signatures(stream_s, sig_s, os.path.join(work, "ckpt_skew"))
+    q.awaitTermination(600)
+    t0 = time.time()
+    pairs_skew = neardup_refresh(spark, sig_s, skew_docs, threshold=0.5)
+    n_pairs_skew = pairs_skew.count()
+    refresh_skew_wall = time.time() - t0
+
     md = f"""{SECTION}
 
 Generated by `python tools/streaming_bench.py` at {sf_dir}
@@ -107,10 +141,20 @@ micro-batch per file via maxFilesPerTrigger=1; warm-up pass untimed).
 |---|---|---|
 | stage 1: per-batch MinHash signatures over {n_docs:,} docs (foreachBatch, {n_epochs} epochs, idempotent per-epoch write) | {wall:.2f} | {stage1_dps:,.0f} docs/sec |
 | stage 2: neardup_refresh over the unreplicated {n_base:,}-doc store (LSH banding + exact verify; {sig_rows:,} sigs accumulated in stage 1) | {refresh_wall:.2f} | {n_pairs} verified pairs |
+| stage 3: neardup_refresh over the {n_base:,}-doc store + an injected 20,000-copy exact-template cluster (max_bucket_size=2000 default drops its buckets) | {refresh_skew_wall:.2f} | {n_pairs_skew} verified pairs |
 
 Stage 1 is strictly per-doc work (no cross-doc join in-stream) — it scales
 with executors like any map stage. Stage 2 is the periodic batch refresh;
 its cost is candidate-proportional (same LSH path as the batch operator).
+Stage 3 is the degenerate-skew regime: ONE 20,000-copy template emits
+~C(20k,2) ≈ 2.0e8 candidate pairs uncapped — a refresh-killing candidate
+set from a single document. The bucket cap drops those buckets before the
+self-join, so the skewed refresh costs roughly the clean stage-2 refresh;
+the template mass itself is exact-dup work (hash-groupBy, no pair space).
+A corpus that is quadratic through MID-size buckets (everything genuinely
+resembles everything, e.g. heavily templated synthetic text) is out of
+scope for any cap — there the near-dup ANSWER is quadratic and thresholds
+/ exact dedup are the tools.
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     old = open(path).read() if os.path.exists(path) else ""
@@ -126,7 +170,9 @@ its cost is candidate-proportional (same LSH path as the batch operator).
                       "docs_per_sec": round(stage1_dps, 1),
                       "epochs": n_epochs,
                       "refresh_wall_s": round(refresh_wall, 2),
-                      "pairs": n_pairs}))
+                      "pairs": n_pairs,
+                      "refresh_skewed_wall_s": round(refresh_skew_wall, 2),
+                      "pairs_skewed": n_pairs_skew}))
     shutil.rmtree(work, ignore_errors=True)
 
 
