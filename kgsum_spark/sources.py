@@ -296,11 +296,15 @@ _TTL_TOKEN = __import__("re").compile(
     | (?P<punct>[;,.\[\](){}])
     | (?P<num>[+-]?(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
       # PN_LOCAL / bnode labels may contain dots but must not END with one
-      # (else 'ex:a.' would swallow the statement terminator); the third
-      # alternative is the empty-prefix pname ':local' (default namespace)
-    | (?P<pname>[A-Za-z_][\w.-]*?:(?:[\w.:%-]*[\w:%-])?
+      # (else 'ex:a.' would swallow the statement terminator); PN_LOCAL
+      # also admits PN_LOCAL_ESC backslash escapes (ex:foo\.bar — W3C
+      # Turtle grammar), stripped in resolve_pname; the third alternative
+      # is the empty-prefix pname ':local' (default namespace)
+    | (?P<pname>[A-Za-z_][\w.-]*?:(?:(?:[\w.:%-]|\\[_~.!$&'()*+,;=/?#@%-])*
+                                     (?:[\w:%-]|\\[_~.!$&'()*+,;=/?#@%-]))?
                |_:[\w.-]*[\w-]
-               |:(?:[\w.%-]*[\w%-])?
+               |:(?:(?:[\w.%-]|\\[_~.!$&'()*+,;=/?#@%-])*
+                    (?:[\w%-]|\\[_~.!$&'()*+,;=/?#@%-]))?
                |[A-Za-z_][\w-]*:?)
     """,
     __import__("re").VERBOSE,
@@ -409,6 +413,8 @@ def _parse_ttl_family(text: str, allow_graphs: bool,
         pfx, _, local = tok.partition(":")
         if pfx + ":" not in prefixes:
             raise ValueError(f"turtle: undefined prefix {pfx!r}:")
+        if "\\" in local:  # PN_LOCAL_ESC: '\.' etc. denote the bare char
+            local = re.sub(r"\\([_~.!$&'()*+,;=/?#@%-])", r"\1", local)
         return prefixes[pfx + ":"] + local
 
     def unquote(tok: str) -> str:

@@ -198,12 +198,16 @@ def neardup_refresh(
     belongs to exact dedup (hash-groupBy), not the pair space."""
     from pyspark.sql import Window
 
+    from .datapipe._util import persist_tracked
     from .datapipe.dedup import (exact_ngram_jaccard_on_pairs,
                                  minhash_lsh_candidates)
 
     sigs = spark.read.parquet(sig_path)
     w = Window.partitionBy("id").orderBy(F.col("epoch").desc())
-    sigs = (
+    # persisted: the LSH bucket self-join (and its bucket-size window)
+    # consumes this frame once per side — without the persist the store
+    # scan + keep-last window run twice per refresh
+    sigs = persist_tracked(
         sigs.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
         .select("id", "sig")

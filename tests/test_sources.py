@@ -512,3 +512,15 @@ def test_nt_uchar_sink_roundtrip(spark, tmp_path):
     sources.nt_lines_from_triples(df).coalesce(1).write.mode("overwrite").text(out)
     got = {r["p"]: r["o"] for r in sources.read_ntriples(spark, out).collect()}
     assert got == {f"http://ex/p{i}": o for i, o in enumerate(hard)}
+
+
+def test_turtle_pn_local_escapes():
+    """PN_LOCAL_ESC (W3C Turtle grammar): ex:foo\\.bar and escaped
+    '&'/'#' in local names resolve to the bare characters, and a
+    trailing escaped dot does not swallow the statement terminator."""
+    rows = sources.parse_turtle(
+        "@prefix ex: <http://ex/> .\n"
+        "ex:foo\\.bar ex:p\\&q ex:end\\. .\n"
+    )
+    assert rows == [("http://ex/foo.bar", "http://ex/p&q",
+                     "http://ex/end.", True, None, None, None)]
