@@ -162,3 +162,34 @@ def test_n3_sugar_desugars_to_plain_triples(stmts):
     doc = "@prefix ex: <http://ex/> .\n" + "\n".join(lines)
     rows = parse_n3(doc)
     assert [(r[0], r[1], r[2]) for r in rows] == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(literals)
+def test_turtle_uchar_roundtrip(lit):
+    """Any text encoded entirely as UCHAR (\\uXXXX / \\UXXXXXXXX) escapes
+    decodes back to the original through the Turtle string path."""
+    enc = "".join(
+        f"\\U{ord(c):08X}" if ord(c) > 0xFFFF else f"\\u{ord(c):04X}"
+        for c in lit
+    )
+    doc = f'<http://s> <http://p> "{enc}" .'
+    rows = parse_turtle(doc)
+    assert len(rows) == 1
+    assert rows[0][2] == lit
+
+
+@settings(max_examples=200, deadline=None)
+@given(literals)
+def test_nt_vectorized_uchar_decode(lit):
+    """The N-Triples reader's vectorized decode agrees: the same all-UCHAR
+    encoding through the pandas one-pass replace yields the original."""
+    import pandas as pd
+
+    from kgsum_spark.sources import _unescape_echar
+
+    enc = "".join(
+        f"\\U{ord(c):08X}" if ord(c) > 0xFFFF else f"\\u{ord(c):04X}"
+        for c in lit
+    )
+    assert _unescape_echar(pd.Series([enc]))[0] == lit
