@@ -365,6 +365,60 @@ def tpch_q3_cents(spark, sf):
     )
 
 
+def tpch_q5_cents(spark, sf):
+    """TPC-H Q5 shape (local-supplier volume): the 6-table star —
+    lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region — with the
+    region filter pushed into the smallest dim and every dim broadcast.
+    Plan at scale: the fact table (lineitem) is never shuffled — four
+    BroadcastHashJoins stack on the scan, and the only exchange is the
+    final n_name aggregate. Dates shifted into the synthetic corpus's
+    1995-2001 range (classic 1994 predicates select nothing here)."""
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c),
+              (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev_cents).cast("bigint").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("n_name").asc())
+    )
+
+
+def tpch_q6_cents(spark, sf):
+    """TPC-H Q6 shape (forecast revenue): a pure filtered-scan aggregate —
+    zero joins, zero groupBy keys. The whole query is predicate pushdown:
+    explain shows PushedFilters on l_shipdate/l_discount/l_quantity at the
+    parquet scan and a two-phase agg over the survivors. At 100 TB this is
+    the query shape whose cost is decided entirely by scan pruning."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+                  .cast("bigint")).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
 def dedup_exact_docs(spark, sf):
     d = _t(spark, sf, "documents")
     out = dd.exact_duplicates(d, "doc_id", "text")
@@ -1573,6 +1627,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c10_props_parse": c10_props_parse,
         "tpch_q1_cents": tpch_q1_cents,
         "tpch_q3_cents": tpch_q3_cents,
+        "tpch_q5_cents": tpch_q5_cents,
+        "tpch_q6_cents": tpch_q6_cents,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "text_quality_metrics": text_quality_metrics,
@@ -2260,6 +2316,29 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > DATE '1995-03-15'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue_cents DESC, l_orderkey ASC LIMIT 10
+        """,
+        "tpch_q5_cents": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name ORDER BY revenue_cents DESC, n_name ASC
+        """,
+        "tpch_q6_cents": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "tpch_q1_cents": """
             SELECT l_returnflag, l_linestatus,
