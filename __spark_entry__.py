@@ -443,6 +443,22 @@ def dedup_ngram_pairs(spark, sf):
     ).orderBy("a", "b")
 
 
+def decontaminate_ngram(spark, sf):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): every 97th
+    document plays the held-out eval set; training docs sharing any word
+    4-gram with it are flagged with hit counts. ORACLED: the same
+    shingle/semi-join arithmetic in DuckDB SQL. n=4 (not the published 13)
+    because the synthetic documents are short."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    out = dd.ngram_contamination(train, bench, "doc_id", "text", n=4)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "n_hit_shingles", "n_bench_docs",
+    ).orderBy("doc_id")
+
+
 def text_quality_metrics(spark, sf):
     d = _t(spark, sf, "documents")
     m = ts.quality_metrics(d, "text")
@@ -1631,6 +1647,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_cents": tpch_q6_cents,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
+        "decontaminate_ngram": decontaminate_ngram,
         "text_quality_metrics": text_quality_metrics,
         "lang_id_heuristic": lang_id_heuristic,
         "fingerprint_docs": fingerprint_docs,
@@ -2353,6 +2370,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_dups,
                    CAST(min(doc_id) AS BIGINT) AS keep_id
             FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+        """,
+        "decontaminate_ngram": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({norm_text}, ' ') AS t FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+                FROM toks
+            ), bench AS (
+                SELECT DISTINCT doc_id AS bench_id, shingle FROM sh
+                WHERE doc_id % 97 = 0
+            )
+            SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                   CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_hit_shingles,
+                   CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+            FROM sh t JOIN bench b USING (shingle)
+            WHERE t.doc_id % 97 <> 0
+            GROUP BY t.doc_id ORDER BY doc_id
         """,
         "dedup_ngram_pairs": f"""
             WITH toks AS (

@@ -99,6 +99,44 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     ).filter(F.col("shingle.g0") != "")  # n=1 on empty text yields one "" token
 
 
+def ngram_contamination(
+    docs: DataFrame, bench: DataFrame, id_col: str, text_col: str,
+    bench_id_col: str | None = None, bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: training documents that share at least
+    one word-n-gram with any benchmark/eval document →
+    (id, n_hit_shingles, n_bench_docs). The published LLM-pipeline recipe
+    (GPT-3 appendix C / PaLM-style 13-gram overlap) as a Spark plan.
+
+    Scale design: the benchmark side is SMALL by nature (eval suites are
+    10^4-10^6 documents against a 10^10-document corpus), so its distinct
+    shingle set is broadcast — the corpus-sized shingle explode streams
+    through a broadcast hash join with NO shuffle of the training side;
+    the only exchange is the per-doc aggregate of the (rare) hits. If a
+    benchmark ever outgrows broadcast, drop the hint and the same plan
+    becomes a shuffle join on the shingle key.
+
+    n defaults to the published 13; callers with short documents (tests,
+    the synthetic corpus) pass a smaller n."""
+    bench_id_col = bench_id_col or id_col
+    bench_text_col = bench_text_col or text_col
+    doc_sh = _shingles(docs, id_col, text_col, n)
+    bench_sh = (
+        _shingles(bench, bench_id_col, bench_text_col, n)
+        .select(F.col("id").alias("bench_id"), "shingle")
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("shingle").cast("bigint").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").cast("bigint").alias("n_bench_docs"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     threshold: float = 0.8, max_shingle_df: int | None = 1000,

@@ -676,3 +676,23 @@ def test_lsh_bucket_cap_drops_degenerate_cluster(spark):
                                              rows_per_band=2).collect()}
     assert (100, 101) in uncapped
     assert sum(1 for a, b in uncapped if a < 100 and b < 100) == 780
+
+
+def test_ngram_contamination(spark):
+    """A training doc sharing a 3-gram with a benchmark doc is flagged with
+    exact hit counts; disjoint docs are not; overlap shorter than n is not."""
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about spark plans"),
+         (3, "quick brown only")],       # 2-gram overlap < n=3 → clean
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run"),
+         (101, "the quick brown cat")],   # shares 'the quick brown' too
+        "doc_id int, text string",
+    )
+    got = {r["id"]: (r["n_hit_shingles"], r["n_bench_docs"]) for r in
+           dedup.ngram_contamination(train, bench, "doc_id", "text", n=3).collect()}
+    # doc 1 shares 'the quick brown' (both bench) + 'quick brown fox' (100)
+    assert got == {1: (2, 2)}
