@@ -468,6 +468,40 @@ def text_quality_metrics(spark, sf):
     ).orderBy("doc_id")
 
 
+def pii_redact_docs(spark, sf):
+    """PII scrub over the documents table. The synthetic corpus carries no
+    PII, so each doc gets a deterministic PII suffix (email + IPv4 + phone
+    derived from doc_id) appended IN BOTH ENGINES — the oracle then checks
+    the full redaction chain (pattern order included) byte-for-byte."""
+    d = _t(spark, sf, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1415"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0"),
+    )
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        ts.redact_pii(synth).alias("redacted"),
+    ).orderBy("doc_id")
+
+
+def repetition_docs(spark, sf):
+    """Gopher-style intra-document repetition signals (dup-token fraction,
+    top-token share) — boilerplate/keyword-stuffing detection the length
+    and stopword metrics miss."""
+    d = _t(spark, sf, "documents")
+    out = ts.repetition_metrics(d, "doc_id", "text")
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        F.col("dup_token_frac").cast("double").alias("dup_token_frac"),
+        F.col("top_token_frac").cast("double").alias("top_token_frac"),
+    ).orderBy("doc_id")
+
+
 _LANG_NOISE = "#@! 123 :::"
 
 
@@ -1649,6 +1683,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "decontaminate_ngram": decontaminate_ngram,
         "text_quality_metrics": text_quality_metrics,
+        "pii_redact_docs": pii_redact_docs,
+        "repetition_docs": repetition_docs,
         "lang_id_heuristic": lang_id_heuristic,
         "fingerprint_docs": fingerprint_docs,
         "ann_cosine_topk": ann_cosine_topk,
@@ -2412,6 +2448,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE common / (sa.sz + sb.sz - common) >= 0.5
             ORDER BY a, b
+        """,
+        "pii_redact_docs": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7 call +1415'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\+?\\d[\\d()-]{7,}\\d', '<PHONE>', 'g') AS redacted
+            FROM documents ORDER BY doc_id
+        """,
+        "repetition_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({norm_text}, ' ')) AS tok
+                FROM documents
+            ), pt AS (
+                SELECT doc_id, tok, count(*) AS c FROM toks
+                WHERE tok <> '' GROUP BY 1, 2
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   1.0 - count(*) / CAST(sum(c) AS DOUBLE) AS dup_token_frac,
+                   max(c) / CAST(sum(c) AS DOUBLE) AS top_token_frac
+            FROM pt GROUP BY doc_id ORDER BY doc_id
         """,
         "text_quality_metrics": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

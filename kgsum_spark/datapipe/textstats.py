@@ -180,3 +180,54 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     text — stable under case/punctuation/whitespace jitter."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
     return df.withColumn(alias, F.substring(F.sha2(norm, 256), 1, 16))
+
+
+# --- PII redaction (round 4) ----------------------------------------------
+#
+# The standard pre-training scrub (emails / IPv4s / phone-like digit runs →
+# typed placeholder tokens). Patterns are kept inside the RE2-compatible
+# subset (no lookaround, no backreferences) so the SAME pattern strings run
+# in Spark (Java regex) and DuckDB (RE2) — which is also what makes the
+# operator oracle-checkable. Order is load-bearing: emails first (an
+# address contains digit runs), IPs before phones (an IPv4 is a phone-like
+# digit run with dots).
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d()-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """text with emails/IPv4s/phone-like digit runs replaced by typed
+    placeholders — a codegen'd regexp_replace chain, no UDF."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, dup_token_frac, top_token_frac) — Gopher-style
+    intra-document repetition signals: the fraction of tokens that are
+    repeats of an earlier token, and the share of the single most frequent
+    token. High values mark boilerplate/keyword-stuffed documents that
+    length and stopword ratios miss.
+
+    Plan: explode tokens → two-level aggregate (per-(doc, token) counts,
+    then per-doc max/sum). Both aggregates partially aggregate map-side;
+    token-level rows never leave the executor unreduced. Documents with no
+    tokens are dropped (metrics undefined)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")
+        ), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return per_tok.groupBy("id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_token_frac"),
+        (F.max("c") / F.sum("c")).alias("top_token_frac"),
+    )

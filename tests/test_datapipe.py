@@ -696,3 +696,37 @@ def test_ngram_contamination(spark):
            dedup.ngram_contamination(train, bench, "doc_id", "text", n=3).collect()}
     # doc 1 shares 'the quick brown' (both bench) + 'quick brown fox' (100)
     assert got == {1: (2, 2)}
+
+
+def test_redact_pii(spark):
+    from kgsum_spark.datapipe import textstats as ts
+    rows = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org now"),
+         (2, "server at 192.168.0.1 fell over"),
+         (3, "call +1(415)555-0199 today"),
+         (4, "versions 1.2 and 3.4.5 are clean"),      # not an IP (2/3 octets)
+         (5, "no pii here at all")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["red"] for r in
+           rows.select("doc_id", ts.redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> fell over"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "versions 1.2 and 3.4.5 are clean"
+    assert got[5] == "no pii here at all"
+
+
+def test_repetition_metrics(spark):
+    from kgsum_spark.datapipe import textstats as ts
+    rows = spark.createDataFrame(
+        [(1, "buy buy buy now now cheap"),   # 6 toks, 3 distinct, top=3
+         (2, "all words are unique here")],  # 5 toks, 5 distinct, top=1
+        "doc_id int, text string",
+    )
+    got = {r["id"]: r for r in ts.repetition_metrics(rows).collect()}
+    assert got[1]["n_tokens"] == 6
+    assert abs(got[1]["dup_token_frac"] - 0.5) < 1e-12
+    assert abs(got[1]["top_token_frac"] - 0.5) < 1e-12
+    assert got[2]["dup_token_frac"] == 0.0
+    assert abs(got[2]["top_token_frac"] - 0.2) < 1e-12
