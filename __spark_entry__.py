@@ -443,6 +443,18 @@ def dedup_ngram_pairs(spark, sf):
     ).orderBy("a", "b")
 
 
+def chunk_docs_windows(spark, sf):
+    """Training-window chunking: 16-token windows, stride 12 (4-token
+    overlap) over the documents table — map-only, no UDF, no shuffle.
+    ORACLED: DuckDB reproduces the start-sequence + slice arithmetic."""
+    d = _t(spark, sf, "documents")
+    out = ts.chunk_documents(d, "doc_id", "text", width=16, stride=12)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "chunk_idx", "n_chunk_tokens", "chunk_text",
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def decontaminate_ngram(spark, sf):
     """Benchmark decontamination (GPT-3-style n-gram overlap): every 97th
     document plays the held-out eval set; training docs sharing any word
@@ -1682,6 +1694,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "decontaminate_ngram": decontaminate_ngram,
+        "chunk_docs_windows": chunk_docs_windows,
         "text_quality_metrics": text_quality_metrics,
         "pii_redact_docs": pii_redact_docs,
         "repetition_docs": repetition_docs,
@@ -2406,6 +2419,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_dups,
                    CAST(min(doc_id) AS BIGINT) AS keep_id
             FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+        """,
+        "chunk_docs_windows": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE trim(text) <> ''
+            ), starts AS (
+                SELECT doc_id, t,
+                       unnest(CASE WHEN len(t) >= 16
+                              THEN range(1, len(t) - 16 + 2, 12)
+                              ELSE [CAST(1 AS BIGINT)] END) AS s
+                FROM toks
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST((s - 1) // 12 AS INTEGER) AS chunk_idx,
+                   CAST(len(t[s:s+15]) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(t[s:s+15], ' ') AS chunk_text
+            FROM starts ORDER BY doc_id, chunk_idx
         """,
         "decontaminate_ngram": f"""
             WITH toks AS (

@@ -52,6 +52,7 @@ OPERATOR_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_pairs_embeddings",
     "ann_ivf_pruned",
+    "decontaminate_ngram",
     "kg_flagship_histogram",
     "kg_pipeline_triples",
 ]

@@ -231,3 +231,38 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
         (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_token_frac"),
         (F.max("c") / F.sum("c")).alias("top_token_frac"),
     )
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    width: int = 64, stride: int = 48) -> DataFrame:
+    """(id, chunk_idx, n_chunk_tokens, chunk_text) — fixed-width token
+    windows with stride (overlap = width - stride): the training-window
+    prep step that turns variable-length documents into model-sized
+    examples. Semantics: full-width chunks only (the unaligned tail is
+    dropped, the standard packing convention); a document shorter than
+    `width` yields exactly one chunk of the whole document.
+
+    Plan: one sequence() of chunk starts per row, explode, slice — all
+    JVM array expressions inside the scan projection; no UDF, no shuffle.
+    At 100 TB chunking is a map-only stage that pipelines into whatever
+    writes the training shards."""
+    if stride <= 0 or width <= 0:
+        raise ValueError("width and stride must be positive")
+    df = df.filter(F.trim(F.col(text_col)) != "")  # no chunks from empties
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.when(
+        n >= width, F.sequence(F.lit(1), n - width + 1, F.lit(stride))
+    ).otherwise(F.array(F.lit(1)))
+    out = df.select(
+        F.col(id_col).alias("id"), toks.alias("_toks"),
+        F.explode(starts).alias("_start"),
+    )
+    chunk = F.slice("_toks", F.col("_start"), width)
+    return out.select(
+        "id",
+        ((F.col("_start") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -730,3 +730,22 @@ def test_repetition_metrics(spark):
     assert abs(got[1]["top_token_frac"] - 0.5) < 1e-12
     assert got[2]["dup_token_frac"] == 0.0
     assert abs(got[2]["top_token_frac"] - 0.2) < 1e-12
+
+
+def test_chunk_documents(spark):
+    from kgsum_spark.datapipe import textstats as ts
+    rows = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 toks, w4 s3 → 3 chunks
+         (2, "short doc"),                            # < width → 1 whole chunk
+         (3, "   ")],                                 # empty → no chunks
+        "doc_id int, text string",
+    )
+    got = [(r["id"], r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+           for r in ts.chunk_documents(rows, width=4, stride=3)
+                      .orderBy("id", "chunk_idx").collect()]
+    assert got == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (2, 0, 2, "short doc"),
+    ]
