@@ -502,7 +502,15 @@ def ngram_jaccard_pairs_prefix(
     """
     if not (0 < threshold <= 1):
         raise ValueError("threshold must be in (0, 1]")
-    sh = _shingles(df, id_col, text_col, n)
+    # sh feeds the DF aggregate AND the ranked join; pref feeds both
+    # sides of the candidate self-join — without persists the shingle
+    # explode and the ranking windows recompute once per consumer.
+    # Measured at the sf0.1 bench: median 8.07 s → 7.41 s (each call
+    # still pays the persist build; the win is the avoided recomputes
+    # and it grows with corpus size). Both frames are corpus-
+    # proportional — the same storage class as the shuffles this plan
+    # already performs.
+    sh = persist_tracked(_shingles(df, id_col, text_col, n))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     ranked = sh.join(dfreq, "shingle")
     # per-doc canonical order: (df asc, shingle fields) — deterministic
@@ -521,6 +529,7 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("_rn") <= F.col("_p"))
         .select("id", "shingle")
     )
+    pref = persist_tracked(pref)
     cand = (
         pref.select(F.col("id").alias("a"), "shingle")
         .join(pref.select(F.col("id").alias("b"), "shingle"), "shingle")
