@@ -1239,6 +1239,39 @@ def doc_length_quantiles(spark, sf):
     )
 
 
+def s1_mixed_dir_roundtrip(spark, sf):
+    """S1 mixed-format directory under the driver gate: the same 300
+    events written as TWO files of DIFFERENT serializations (even ids →
+    .nt, odd ids → .ttl with a `;` list adding a user IRI), read back in
+    one read_rdf_dir call (one scan per format, union). The fixture is
+    built with driver-side file writes — it is the INPUT being
+    constructed, not the answer; the answer is the distributed parse.
+    DuckDB reconstructs the union analytically."""
+    import os
+    import shutil
+
+    from kgsum_spark.sources import read_rdf_dir
+
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 300)
+    rows = e.select("event_id", "event_type", "user_id").collect()
+    dirp = f"/tmp/kgsum_s1_mix_{os.path.basename(sf.rstrip('/'))}"
+    shutil.rmtree(dirp, ignore_errors=True)
+    os.makedirs(dirp)
+    with open(os.path.join(dirp, "even.nt"), "w") as f:
+        for r in rows:
+            if r["event_id"] % 2 == 0:
+                f.write(f'<http://ex/e{r["event_id"]}> <http://ex/t> '
+                        f'"{r["event_type"]}" .\n')
+    with open(os.path.join(dirp, "odd.ttl"), "w") as f:
+        f.write("@prefix ex: <http://ex/> .\n")
+        for r in rows:
+            if r["event_id"] % 2 == 1:
+                f.write(f'ex:e{r["event_id"]} ex:t "{r["event_type"]}" ; '
+                        f'ex:u <http://u/{r["user_id"]}> .\n')
+    t = read_rdf_dir(spark, dirp)
+    return t.select("s", "p", "o", "o_is_iri").orderBy("s", "p", "o")
+
+
 def s1_turtle_roundtrip(spark, sf):
     """S1 Turtle parser under the driver gate: synthesize a Turtle
     document from events (pname subjects, a `;` predicate-object list, a
@@ -1739,6 +1772,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_features": mm_audio_features,
         "doc_length_quantiles": doc_length_quantiles,
         "s1_turtle_roundtrip": s1_turtle_roundtrip,
+        "s1_mixed_dir_roundtrip": s1_mixed_dir_roundtrip,
         "s1_trig_roundtrip": s1_trig_roundtrip,
         "s1_rdfxml_roundtrip": s1_rdfxml_roundtrip,
         "s1_n3_roundtrip": s1_n3_roundtrip,
@@ -2689,6 +2723,21 @@ def oracle_sql() -> dict[str, str]:
                               END AS BIGINT) AS n_tok
                   FROM documents)
             GROUP BY lang ORDER BY lang
+        """,
+        "s1_mixed_dir_roundtrip": """
+            WITH base AS (SELECT * FROM events WHERE event_id < 300)
+            SELECT s, p, o, o_is_iri FROM (
+                SELECT 'http://ex/e' || CAST(event_id AS VARCHAR) AS s,
+                       'http://ex/t' AS p, event_type AS o,
+                       FALSE AS o_is_iri
+                FROM base
+                UNION ALL
+                SELECT 'http://ex/e' || CAST(event_id AS VARCHAR) AS s,
+                       'http://ex/u' AS p,
+                       'http://u/' || CAST(user_id AS VARCHAR) AS o,
+                       TRUE AS o_is_iri
+                FROM base WHERE event_id % 2 = 1
+            ) ORDER BY s, p, o
         """,
         "s1_turtle_roundtrip": """
             WITH ids AS (

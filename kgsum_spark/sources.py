@@ -220,6 +220,59 @@ def sniff_and_read(spark: SparkSession, path: str) -> DataFrame:
     }[fmt](spark, path)
 
 
+def read_rdf_dir(spark: SparkSession, path: str) -> DataFrame:
+    """S1 for a MIXED-format dump directory (real LOD drops mix .nt/.ttl/
+    .rdf/... files): group files by extension — sniffing each extensionless
+    file's head driver-side — then run ONE native read per format group
+    over its whole path list and unionByName the results.
+
+    Scale shape: Spark jobs scale with the number of FORMATS present
+    (≤ 5), never with file count — each group is a single multi-path scan
+    with per-file parallelism inside it. The driver-side listing is one
+    filesystem/object-store list call; the per-file head sniff only runs
+    for extensionless files (8 KB driver read each), mirroring
+    sniff_and_read. The reference's analog is a per-file Python loop over
+    rdflib (/root/reference/src/dataset_preparation.py:526-586)."""
+    import os
+
+    ext_bucket = {
+        ".nt": "nt", ".nq": "nt", ".nquads": "nt",
+        ".ttl": "turtle", ".turtle": "turtle",
+        ".trig": "trig",
+        ".rdf": "xml", ".xml": "xml", ".owl": "xml",
+        ".n3": "n3",
+    }
+    readers = {
+        "nt": read_ntriples,
+        "turtle": read_turtle,
+        "trig": read_trig,
+        "xml": read_rdfxml,
+        "n3": read_n3,
+    }
+    groups: dict[str, list[str]] = {}
+    for fn in sorted(os.listdir(path)):
+        full = os.path.join(path, fn)
+        if not os.path.isfile(full) or fn.startswith((".", "_")):
+            continue
+        ext = os.path.splitext(fn)[1].lower()
+        if ext in ext_bucket:
+            groups.setdefault(ext_bucket[ext], []).append(full)
+        else:
+            with open(full, "rb") as f:
+                head = f.read(8192).decode("utf-8", errors="replace")
+            fmt = sniff_format(head)
+            # sniffed-turtle dispatches to n3 (strict superset; same rule
+            # as sniff_and_read)
+            groups.setdefault("n3" if fmt == "turtle" else fmt, []).append(full)
+    if not groups:
+        raise ValueError(f"read_rdf_dir: no readable RDF files in {path!r}")
+    frames = [readers[fmt](spark, paths) for fmt, paths in sorted(groups.items())]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def read_catalog_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """S2 — CSV catalog scan with explicit schema (never inferSchema in
     prod; reference: pd.read_csv at /root/reference/src/util.py:147-149)."""

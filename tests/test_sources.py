@@ -524,3 +524,39 @@ def test_turtle_pn_local_escapes():
     )
     assert rows == [("http://ex/foo.bar", "http://ex/p&q",
                      "http://ex/end.", True, None, None, None)]
+
+
+def test_read_rdf_dir_mixed_formats(spark, tmp_path):
+    """A directory mixing .nt, .ttl, .rdf and an extensionless N3 file
+    reads as one union — jobs per FORMAT, not per file — and bnode
+    scoping still holds across the mix."""
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "a.nt").write_text('<http://d/s1> <http://p/x> "one" .\n')
+    (d / "b.ttl").write_text(
+        "@prefix ex: <http://p/> .\n<http://d/s2> ex:x \"two\" .\n")
+    (d / "c.rdf").write_text(
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:ex="http://p/">\n'
+        '  <rdf:Description rdf:about="http://d/s3"><ex:x>three</ex:x>'
+        '</rdf:Description>\n'
+        "</rdf:RDF>\n")
+    (d / "noext") .write_text(
+        "@prefix ex: <http://p/> .\nex:s5 is ex:x of ex:s4 .\n")
+    rows = {(r["s"], r["p"], r["o"]) for r in
+            sources.read_rdf_dir(spark, str(d)).collect()}
+    assert rows == {
+        ("http://d/s1", "http://p/x", "one"),
+        ("http://d/s2", "http://p/x", "two"),
+        ("http://d/s3", "http://p/x", "three"),
+        ("http://p/s4", "http://p/x", "http://p/s5"),
+    }
+
+
+def test_read_rdf_dir_empty_raises(spark, tmp_path):
+    d = tmp_path / "nothing"
+    d.mkdir()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sources.read_rdf_dir(spark, str(d))
