@@ -471,6 +471,34 @@ def decontaminate_ngram(spark, sf):
     ).orderBy("doc_id")
 
 
+def decontaminate_drop_docs(spark, sf):
+    """Decontamination DROP step (r5): the training corpus minus every
+    document sharing a word 4-gram with the every-97th-doc eval set — a
+    broadcast LEFT ANTI join over ngram_contamination's flag set.
+    ORACLED: DuckDB NOT IN over the same shingle semi-join."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    out = dd.decontaminate_drop(train, bench, "doc_id", "text", n=4)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "source"
+    ).orderBy("doc_id")
+
+
+def dedup_neardup_survivors(spark, sf):
+    """Near-duplicate removal END-TO-END (r5): exact trigram-Jaccard
+    pairs (threshold 0.5, uncapped = oracle-exact) → connected components
+    → keep the min-doc_id survivor per cluster → the deduplicated corpus.
+    ORACLED: DuckDB recomputes the pairs brute-force, closes components
+    with a WITH RECURSIVE min-label fixpoint, and drops non-min members."""
+    d = _t(spark, sf, "documents")
+    out = dd.neardup_dedup(d, "doc_id", "text", n=3, threshold=0.5,
+                           method="ngram", max_shingle_df=None)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
 def text_quality_metrics(spark, sf):
     d = _t(spark, sf, "documents")
     m = ts.quality_metrics(d, "text")
@@ -1727,6 +1755,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "decontaminate_ngram": decontaminate_ngram,
+        "decontaminate_drop_docs": decontaminate_drop_docs,
+        "dedup_neardup_survivors": dedup_neardup_survivors,
         "chunk_docs_windows": chunk_docs_windows,
         "text_quality_metrics": text_quality_metrics,
         "pii_redact_docs": pii_redact_docs,
@@ -2489,6 +2519,64 @@ def oracle_sql() -> dict[str, str]:
             FROM sh t JOIN bench b USING (shingle)
             WHERE t.doc_id % 97 <> 0
             GROUP BY t.doc_id ORDER BY doc_id
+        """,
+        "decontaminate_drop_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({norm_text}, ' ') AS t FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+                FROM toks
+            ), bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+            ), contaminated AS (
+                SELECT DISTINCT doc_id FROM sh
+                WHERE doc_id % 97 <> 0
+                  AND shingle IN (SELECT shingle FROM bench)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+            FROM documents
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ORDER BY doc_id
+        """,
+        "dedup_neardup_survivors": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split({norm_text}, ' ') AS t FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 2, 0) + 1),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), common AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), pairs AS (
+                SELECT a, b FROM common
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE common / (sa.sz + sb.sz - common) >= 0.5
+            ), esym AS (
+                SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ), reach AS (
+                SELECT a AS node, a AS r FROM esym
+                UNION
+                SELECT e.b AS node, reach.r FROM reach JOIN esym e ON e.a = reach.node
+            ), cc AS (
+                SELECT node, min(r) AS label FROM reach GROUP BY node
+            ), keep AS (
+                SELECT label, min(node) AS keep_id FROM cc GROUP BY label
+            ), dropped AS (
+                SELECT node FROM cc JOIN keep USING (label)
+                WHERE node <> keep_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM dropped)
+            ORDER BY doc_id
         """,
         "dedup_ngram_pairs": f"""
             WITH toks AS (

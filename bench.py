@@ -53,6 +53,7 @@ OPERATOR_QUERIES = [
     "ann_lsh_pairs_embeddings",
     "ann_ivf_pruned",
     "decontaminate_ngram",
+    "dedup_neardup_survivors",
     "kg_flagship_histogram",
     "kg_pipeline_triples",
 ]

@@ -137,6 +137,93 @@ def ngram_contamination(
     )
 
 
+def decontaminate_drop(
+    docs: DataFrame, bench: DataFrame, id_col: str, text_col: str,
+    bench_id_col: str | None = None, bench_text_col: str | None = None,
+    n: int = 13,
+) -> DataFrame:
+    """The other half of benchmark decontamination: DROP the flagged
+    training documents (ngram_contamination only FLAGS them). Returns
+    `docs` minus every row sharing ≥ 1 word-n-gram with the benchmark —
+    the published pipeline's actual filter step (GPT-3 appendix C removes
+    contaminated documents, it doesn't just report them).
+
+    Scale design: the contaminated-id set is benchmark-overlap sized
+    (tiny against a 10^10-doc corpus), so it is broadcast into a LEFT
+    ANTI join — the corpus streams through map-side with NO shuffle and
+    no second shingle pass. If a pathological overlap ever outgrows
+    broadcast, remove the hint and the same plan shuffles on the id."""
+    hits = ngram_contamination(
+        docs, bench, id_col, text_col, bench_id_col, bench_text_col, n
+    ).select(F.col("id").alias("__contaminated_id"))
+    return docs.join(
+        F.broadcast(hits),
+        F.col(id_col) == F.col("__contaminated_id"),
+        "left_anti",
+    )
+
+
+def neardup_dedup(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.5, method: str = "minhash",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: pairs → connected components →
+    keep the min-id survivor per cluster → the deduplicated corpus.
+    Composes the pair generators above with canonicalize.connected_
+    components (the same scale-adaptive CC the KG pipeline uses); a real
+    pipeline wants the surviving rows, not the pair list.
+
+    method="minhash" (default): LSH-pruned, exact-verified pairs — the
+    100 TB path. method="ngram": inverted-index Jaccard (exact when
+    max_shingle_df=None — the oracle-checkable configuration).
+
+    Scale design: only ids that appear in at least one pair enter the CC
+    node set (near-dup-cluster sized, orders of magnitude under corpus
+    size); every other row survives untouched. The drop set (cluster
+    members minus survivors) is pair-bounded and broadcast into a LEFT
+    ANTI join, so the corpus itself is never shuffled. Survivor choice is
+    min(id) in the id column's own ordering (numeric ids compare
+    numerically), independent of CC's internal string labels."""
+    from kgsum_spark.canonicalize import connected_components
+
+    if method == "minhash":
+        pairs = minhash_neardup_verified(
+            df, id_col, text_col, n=n, threshold=threshold)
+    elif method == "ngram":
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, n=n, threshold=threshold,
+            max_shingle_df=max_shingle_df)
+    else:
+        raise ValueError(f"neardup_dedup: unknown method {method!r}")
+    pairs = persist_tracked(pairs.select(
+        F.col("a").cast("string").alias("a"),
+        F.col("b").cast("string").alias("b"),
+    ))
+    nodes = (
+        pairs.select(F.col("a").alias("norm"))
+        .unionByName(pairs.select(F.col("b").alias("norm")))
+        .distinct()
+    )
+    cc = connected_components(nodes, pairs)  # (norm, label), both strings
+    # Recover the original-typed id so min() uses ITS ordering, not the
+    # string label ordering ("10" < "9" lexicographically).
+    ids = df.select(
+        F.col(id_col).alias("__orig_id"),
+        F.col(id_col).cast("string").alias("norm"),
+    )
+    member = cc.join(ids, "norm")
+    keeper = member.groupBy("label").agg(F.min("__orig_id").alias("__keep_id"))
+    drop = (
+        member.join(keeper, "label")
+        .filter(F.col("__orig_id") != F.col("__keep_id"))
+        .select(F.col("__orig_id").alias("__drop_id"))
+    )
+    return df.join(
+        F.broadcast(drop), F.col(id_col) == F.col("__drop_id"), "left_anti"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     threshold: float = 0.8, max_shingle_df: int | None = 1000,

@@ -53,6 +53,11 @@ def normalize_tokens(text: Column, lang: str = "en",
     the full published Porter algorithm (porter_stem below) via an
     Arrow-batched pandas UDF — linguistically standard stems at pandas-UDF
     cost; use for English quality-sensitive offline passes."""
+    if stemmer not in ("suffix", "porter"):
+        raise ValueError(
+            f"normalize_tokens: unknown stemmer {stemmer!r} "
+            "(expected 'suffix' or 'porter')"
+        )
     if stemmer == "porter":
         stopset = set(STOPWORDS.get(lang, STOPWORDS["en"]))
 

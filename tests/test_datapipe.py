@@ -698,6 +698,47 @@ def test_ngram_contamination(spark):
     assert got == {1: (2, 2)}
 
 
+def test_decontaminate_drop(spark):
+    """The DROP step removes exactly the flagged docs: flag ∪ survivors =
+    corpus, flag ∩ survivors = ∅, and clean docs pass through unchanged."""
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about spark plans"),
+         (3, "quick brown only")],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id int, text string",
+    )
+    kept = dedup.decontaminate_drop(train, bench, "doc_id", "text", n=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    assert kept.columns == train.columns  # anti join keeps the left schema
+    flagged = {r["id"] for r in dedup.ngram_contamination(
+        train, bench, "doc_id", "text", n=3).collect()}
+    assert flagged == {1}
+
+
+def test_neardup_dedup_survivors(spark):
+    """pairs → CC → min-id survivor: a 3-doc near-dup chain keeps only its
+    min id, singletons survive, and minhash ≡ ngram on the same corpus.
+    Ids 9/10/11 force the numeric-vs-string min distinction ('10' < '9'
+    lexicographically, but 9 must win)."""
+    rows = [
+        (9, "alpha beta gamma delta epsilon zeta eta theta"),
+        (10, "alpha beta gamma delta epsilon zeta eta iota"),   # ~dup of 9
+        (11, "beta gamma delta epsilon zeta eta theta kappa"),  # ~dup of 9
+        (2, "totally different text about query planning stuff"),
+        (3, "short"),                                           # no trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for method in ("ngram", "minhash"):
+        kept = dedup.neardup_dedup(df, "doc_id", "text", n=3, threshold=0.4,
+                                   method=method, max_shingle_df=None)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 9], method
+    with pytest.raises(ValueError):
+        dedup.neardup_dedup(df, "doc_id", "text", method="nope")
+
+
 def test_redact_pii(spark):
     from kgsum_spark.datapipe import textstats as ts
     rows = spark.createDataFrame(

@@ -28,6 +28,13 @@ def test_normalize_tokens_stems_and_strips(spark):
     assert "jump" in toks
 
 
+def test_normalize_tokens_rejects_unknown_stemmer(spark):
+    """A typo'd stemmer name must raise, not silently fall back to the
+    suffix stripper with different tokens (ADVICE r4)."""
+    with pytest.raises(ValueError, match="Porter"):
+        nlp.normalize_tokens(F.col("text"), stemmer="Porter")
+
+
 def test_detect_mentions_types(spark):
     df = spark.createDataFrame(
         [(1, "Acme Corp met NASA near Berlin with Unit42 today",)], ["id", "text"]
