@@ -60,6 +60,35 @@ def test_markers_and_lineage(result, work_dir):
         assert sum(p["rows"] for p in meta["lineage"]) == meta["rows"]
 
 
+def test_footer_lineage_distributed_matches_serial(spark, tmp_path):
+    """Past _LINEAGE_DISTRIBUTE_THRESHOLD files the footer reads fan out
+    over executors (r4 VERDICT #1: the serial driver walk was the last
+    driver-side stall in the pipeline); the distributed pass must return
+    byte-identical lineage to the serial fallback on a many-file stage,
+    including partitioned (nested-dir) layouts."""
+    from pyspark.sql import functions as F
+
+    from kgsum_spark import pipeline as P
+
+    df = spark.range(0, 10_000).withColumn("k", F.col("id") % 3)
+    flat = str(tmp_path / "flat")
+    df.repartition(96).write.parquet(flat)
+    serial = P._footer_lineage(flat)                 # spark=None → serial
+    dist = P._footer_lineage(flat, spark=spark, force_distribute=True)
+    assert serial == dist
+    assert sum(p["rows"] for p in dist) == 10_000
+    assert len(dist) == 96
+
+    nested = str(tmp_path / "nested")
+    df.repartition(40).write.partitionBy("k").parquet(nested)  # 120 files
+    assert P._footer_lineage(nested) == P._footer_lineage(
+        nested, spark=spark, force_distribute=True)
+    # scheme-aware threshold: local paths distribute late, remote early
+    assert P._lineage_threshold(flat) == P._LINEAGE_DISTRIBUTE_THRESHOLD_LOCAL
+    assert (P._lineage_threshold("s3://bucket/stage")
+            == P._LINEAGE_DISTRIBUTE_THRESHOLD_REMOTE)
+
+
 def test_resume_skips_all_stages(spark, transcripts_df, work_dir, baseline_set, corpus):
     res2 = run_pipeline(spark, transcripts_df, work_dir, resume=True)
     assert set(res2.metrics["resumed"]) == {"raw_triples", "entities", "triples"}
