@@ -58,7 +58,7 @@ def _driver_cc(spark, nodes_local: list, edges_local: list) -> DataFrame:
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 50,
     rows_per_partition: int = 100_000, driver_threshold: int = 1_000_000,
-    driver_edge_threshold: int = 20_000_000,
+    driver_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """nodes(norm) ∪ edges(a, b) → (norm, label) with label = component min.
 
@@ -69,6 +69,15 @@ def connected_components(
     edges are O(block²), so a modest vocabulary with one hot block can
     produce tens of millions of edges — collecting those would OOM the
     driver even though the node set fits.
+
+    driver_edge_threshold = 2M is MEASURED, not asserted (r5, local[32],
+    24g driver): collect wall / union-find wall / peak python RSS were
+    10s/4s/1.0GB at 2M two-string edge rows, 21s/10s/2.2GB at 5M,
+    150s/75s/8.2GB at 20M (the r4 default — strictly worse than the
+    ~10s distributed loop it was supposed to undercut, and past the 8g
+    default driver heap). 2M is the break-even with the distributed
+    loop's fixed multi-job cost; an over-threshold graph's wasted probe
+    is bounded at T+1 rows ≈ 10s and ~1GB, never the unbounded collect.
 
     The gates are probed with capped collects (`limit(threshold+1)`):
     for the common small-vocabulary case the probe IS the fetch, so the
