@@ -86,47 +86,91 @@ def _unescape_uchar(iri: pd.Series) -> pd.Series:
     return iri.str.replace(_UCHAR_RE, _decode_uchar_match, regex=True)
 
 
-def _parse_nt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        lines = pdf["value"].fillna("")
-        keep = ~lines.str.match(r"^\s*(#|$)")
-        lines = lines[keep]
-        if lines.empty:
-            continue
-        cap = lines.str.extract(NT_LINE)
-        ok = cap["p"].notna()
-        cap = cap[ok]
-        if cap.empty:
-            continue
-        o_lit = _unescape_echar(cap["o_lit"])
-        # UCHAR escapes in IRI positions (é etc., common in real
-        # dumps): decode only when the batch actually contains any —
-        # the probe is one vectorized substring scan, the decode five.
-        iri = {k: cap[k] for k in ("s_iri", "p", "o_iri", "o_dt", "g")}
-        if any(
-            col.str.contains("\\u", regex=False, na=False).any()
-            or col.str.contains("\\U", regex=False, na=False).any()
-            for col in iri.values()
-        ):
-            iri = {k: _unescape_uchar(v) for k, v in iri.items()}
-        out = pd.DataFrame(
-            {
-                "s": iri["s_iri"].fillna(cap["s_bnode"]),
-                "p": iri["p"],
-                "o": iri["o_iri"].fillna(cap["o_bnode"]).fillna(o_lit),
-                "o_is_iri": cap["o_iri"].notna(),
-                "o_lang": cap["o_lang"],
-                "o_datatype": iri["o_dt"],
-                "g": iri["g"].fillna(cap["g_bnode"]),
-            }
-        )
-        yield out
+class ReadMetrics:
+    """Malformed-input accounting for the native RDF readers (r5 — the
+    r4 parsers dropped unparseable lines with NO counter: silent data
+    loss on a 100 TB crawl; the reference at least surfaces failure by
+    raising, /root/reference/src/dataset_preparation.py:371-378).
+
+    Accumulator-backed: workers add counts as tasks run, so values are
+    meaningful only AFTER an action has consumed the returned DataFrame,
+    and task retries/speculation may over-count (standard Spark
+    accumulator semantics — these are monitoring metrics, not
+    exactly-once bookkeeping). bad_lines counts unparseable N-Triples/
+    N-Quads lines (comments/blanks are NOT malformed); bad_docs counts
+    whole documents a ttl-family/XML reader quarantined under
+    on_malformed='quarantine'."""
+
+    def __init__(self, spark: SparkSession):
+        self._bad_lines = spark.sparkContext.accumulator(0)
+        self._bad_docs = spark.sparkContext.accumulator(0)
+
+    @property
+    def bad_lines(self) -> int:
+        return self._bad_lines.value
+
+    @property
+    def bad_docs(self) -> int:
+        return self._bad_docs.value
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+def _parse_nt_batches(bad_acc=None):
+    """Factory: vectorized NT/NQ line-parser for mapInPandas, optionally
+    counting unparseable lines into `bad_acc` (a ReadMetrics accumulator
+    — picklable, updates flow back to the driver with task results)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = pdf["value"].fillna("")
+            keep = ~lines.str.match(r"^\s*(#|$)")
+            lines = lines[keep]
+            if lines.empty:
+                continue
+            cap = lines.str.extract(NT_LINE)
+            ok = cap["p"].notna()
+            if bad_acc is not None:
+                n_bad = int((~ok).sum())
+                if n_bad:
+                    bad_acc.add(n_bad)
+            cap = cap[ok]
+            if cap.empty:
+                continue
+            o_lit = _unescape_echar(cap["o_lit"])
+            # UCHAR escapes in IRI positions (é etc., common in real
+            # dumps): decode only when the batch actually contains any —
+            # the probe is one vectorized substring scan, the decode five.
+            iri = {k: cap[k] for k in ("s_iri", "p", "o_iri", "o_dt", "g")}
+            if any(
+                col.str.contains("\\u", regex=False, na=False).any()
+                or col.str.contains("\\U", regex=False, na=False).any()
+                for col in iri.values()
+            ):
+                iri = {k: _unescape_uchar(v) for k, v in iri.items()}
+            out = pd.DataFrame(
+                {
+                    "s": iri["s_iri"].fillna(cap["s_bnode"]),
+                    "p": iri["p"],
+                    "o": iri["o_iri"].fillna(cap["o_bnode"]).fillna(o_lit),
+                    "o_is_iri": cap["o_iri"].notna(),
+                    "o_lang": cap["o_lang"],
+                    "o_datatype": iri["o_dt"],
+                    "g": iri["g"].fillna(cap["g_bnode"]),
+                }
+            )
+            yield out
+
+    return gen
+
+
+def read_ntriples(
+    spark: SparkSession, path: str, metrics: ReadMetrics | None = None
+) -> DataFrame:
     """S1 (nt/nquads): text scan → vectorized line parser → triples table.
-    Splittable (line-oriented), pushdown-friendly columnar output."""
-    return spark.read.text(path).mapInPandas(_parse_nt_batches, TRIPLES_NT_SCHEMA)
+    Splittable (line-oriented), pushdown-friendly columnar output. Pass a
+    ReadMetrics to count unparseable lines (read after an action)."""
+    bad = metrics._bad_lines if metrics is not None else None
+    return spark.read.text(path).mapInPandas(
+        _parse_nt_batches(bad), TRIPLES_NT_SCHEMA)
 
 
 def read_rdf_with_rdflib(spark: SparkSession, path: str, fmt: str = "turtle") -> DataFrame:
@@ -220,7 +264,46 @@ def sniff_and_read(spark: SparkSession, path: str) -> DataFrame:
     }[fmt](spark, path)
 
 
-def read_rdf_dir(spark: SparkSession, path: str) -> DataFrame:
+def _hadoop_list_files(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """(name, full_path) for the immediate FILES of `path`, via the Hadoop
+    FileSystem API — works for every scheme Spark itself can read (file:/,
+    hdfs:/, s3a:/ ...), unlike os.listdir which only sees driver-local
+    paths (ADVICE r4). Flat by design: nested dump dirs are separate
+    datasets; call read_rdf_dir per directory."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    out = []
+    for st in fs.listStatus(jpath):
+        if st.isFile():
+            p = st.getPath()
+            out.append((p.getName(), p.toString()))
+    return sorted(out)
+
+
+def _hadoop_read_head(spark: SparkSession, full_path: str,
+                      nbytes: int = 8192) -> str:
+    """First nbytes of a file through the Hadoop FS (any scheme), decoded
+    for sniffing. BoundedInputStream caps the read; IOUtils returns the
+    byte[] straight into Python via py4j."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(full_path)
+    fs = jpath.getFileSystem(hconf)
+    stream = fs.open(jpath)
+    try:
+        bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
+            stream, nbytes)
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(bounded))
+    finally:
+        stream.close()
+    return data.decode("utf-8", errors="replace")
+
+
+def read_rdf_dir(spark: SparkSession, path: str,
+                 metrics: ReadMetrics | None = None,
+                 on_malformed: str = "raise") -> DataFrame:
     """S1 for a MIXED-format dump directory (real LOD drops mix .nt/.ttl/
     .rdf/... files): group files by extension — sniffing each extensionless
     file's head driver-side — then run ONE native read per format group
@@ -228,11 +311,18 @@ def read_rdf_dir(spark: SparkSession, path: str) -> DataFrame:
 
     Scale shape: Spark jobs scale with the number of FORMATS present
     (≤ 5), never with file count — each group is a single multi-path scan
-    with per-file parallelism inside it. The driver-side listing is one
-    filesystem/object-store list call; the per-file head sniff only runs
-    for extensionless files (8 KB driver read each), mirroring
+    with per-file parallelism inside it. Listing and head-sniffing go
+    through the Hadoop FileSystem API, so any scheme Spark reads works
+    (s3a://, hdfs:// — not just driver-local paths); the listing is flat
+    (one list call; nested dirs are separate datasets). The per-file head
+    sniff only runs for extensionless files (8 KB read each), mirroring
     sniff_and_read. The reference's analog is a per-file Python loop over
-    rdflib (/root/reference/src/dataset_preparation.py:526-586)."""
+    rdflib (/root/reference/src/dataset_preparation.py:526-586).
+
+    metrics/on_malformed thread through to every per-format reader:
+    unparseable NT/NQ LINES are dropped and counted in metrics.bad_lines;
+    whole-doc formats raise by default or, under
+    on_malformed='quarantine', skip + count in metrics.bad_docs."""
     import os
 
     ext_bucket = {
@@ -242,31 +332,29 @@ def read_rdf_dir(spark: SparkSession, path: str) -> DataFrame:
         ".rdf": "xml", ".xml": "xml", ".owl": "xml",
         ".n3": "n3",
     }
-    readers = {
-        "nt": read_ntriples,
-        "turtle": read_turtle,
-        "trig": read_trig,
-        "xml": read_rdfxml,
-        "n3": read_n3,
-    }
     groups: dict[str, list[str]] = {}
-    for fn in sorted(os.listdir(path)):
-        full = os.path.join(path, fn)
-        if not os.path.isfile(full) or fn.startswith((".", "_")):
+    for fn, full in _hadoop_list_files(spark, path):
+        if fn.startswith((".", "_")):
             continue
         ext = os.path.splitext(fn)[1].lower()
         if ext in ext_bucket:
             groups.setdefault(ext_bucket[ext], []).append(full)
         else:
-            with open(full, "rb") as f:
-                head = f.read(8192).decode("utf-8", errors="replace")
+            head = _hadoop_read_head(spark, full)
             fmt = sniff_format(head)
             # sniffed-turtle dispatches to n3 (strict superset; same rule
             # as sniff_and_read)
             groups.setdefault("n3" if fmt == "turtle" else fmt, []).append(full)
     if not groups:
         raise ValueError(f"read_rdf_dir: no readable RDF files in {path!r}")
-    frames = [readers[fmt](spark, paths) for fmt, paths in sorted(groups.items())]
+    frames = []
+    for fmt, paths in sorted(groups.items()):
+        if fmt == "nt":
+            frames.append(read_ntriples(spark, paths, metrics))
+        else:
+            reader = {"turtle": read_turtle, "trig": read_trig,
+                      "xml": read_rdfxml, "n3": read_n3}[fmt]
+            frames.append(reader(spark, paths, metrics, on_malformed))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -657,15 +745,33 @@ def _parse_ttl_family(text: str, allow_graphs: bool,
     return rows
 
 
-def _whole_doc_reader(spark: SparkSession, path: str, parse_fn) -> DataFrame:
+def _whole_doc_reader(
+    spark: SparkSession, path: str, parse_fn,
+    metrics: ReadMetrics | None = None, on_malformed: str = "raise",
+) -> DataFrame:
     """Shared per-file reader for the non-splittable formats: whole-document
     scan → parse per file inside mapInPandas. Parallelism is per-FILE — a
     directory of shards parallelizes; one giant document does not (convert
     to .nt for that). Each document's bnode labels are salted with a short
     hash of its file path (bnode labels are document-scoped in RDF — two
     files both writing `_:b1` denote DIFFERENT nodes, and a multi-file read
-    must not conflate them in downstream joins/dedup/canonicalization)."""
+    must not conflate them in downstream joins/dedup/canonicalization).
+
+    on_malformed: 'raise' (default) fails the job on the first document
+    the subset parser rejects — the right call for curated inputs;
+    'quarantine' skips the document, counts it in metrics.bad_docs, and
+    keeps the scan alive — the right call for a crawl where one corrupt
+    shard must not kill a 100 TB read (Spark's PERMISSIVE/badRecordsPath
+    idiom). NotImplementedError (subset-exceeding but well-formed RDF)
+    always raises: quarantining it would silently drop GOOD data the
+    rdflib seam can parse."""
     import hashlib
+
+    if on_malformed not in ("raise", "quarantine"):
+        raise ValueError(
+            f"on_malformed must be 'raise' or 'quarantine', got {on_malformed!r}")
+    bad_acc = metrics._bad_docs if metrics is not None else None
+    quarantine = on_malformed == "quarantine"
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["s", "p", "o", "o_is_iri", "o_lang", "o_datatype", "g"]
@@ -673,8 +779,18 @@ def _whole_doc_reader(spark: SparkSession, path: str, parse_fn) -> DataFrame:
             for fname, doc in zip(pdf["_file"], pdf["value"]):
                 salt = hashlib.md5(
                     (fname or doc or "").encode()).hexdigest()[:8]
-                yield pd.DataFrame(parse_fn(doc or "", doc_salt=salt),
-                                   columns=cols)
+                try:
+                    rows = parse_fn(doc or "", doc_salt=salt)
+                except NotImplementedError:
+                    raise  # well-formed RDF beyond the subset → rdflib seam
+                except (ValueError, SyntaxError):
+                    # SyntaxError covers xml.etree's ParseError
+                    if not quarantine:
+                        raise
+                    if bad_acc is not None:
+                        bad_acc.add(1)
+                    continue
+                yield pd.DataFrame(rows, columns=cols)
 
     return (
         spark.read.text(path, wholetext=True)
@@ -683,25 +799,31 @@ def _whole_doc_reader(spark: SparkSession, path: str, parse_fn) -> DataFrame:
     )
 
 
-def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+def read_turtle(spark: SparkSession, path: str,
+                metrics: ReadMetrics | None = None,
+                on_malformed: str = "raise") -> DataFrame:
     """S1 (ttl, rdflib-free subset): whole-document scan → parse_turtle per
     file inside mapInPandas (per-file parallelism + per-document bnode
     scoping: see _whole_doc_reader)."""
-    return _whole_doc_reader(spark, path, parse_turtle)
+    return _whole_doc_reader(spark, path, parse_turtle, metrics, on_malformed)
 
 
-def read_trig(spark: SparkSession, path: str) -> DataFrame:
+def read_trig(spark: SparkSession, path: str,
+              metrics: ReadMetrics | None = None,
+              on_malformed: str = "raise") -> DataFrame:
     """S1 (trig, rdflib-free): per-file parse_trig inside mapInPandas; the
     g column carries the graph IRI (None = default graph)."""
-    return _whole_doc_reader(spark, path, parse_trig)
+    return _whole_doc_reader(spark, path, parse_trig, metrics, on_malformed)
 
 
-def read_n3(spark: SparkSession, path: str) -> DataFrame:
+def read_n3(spark: SparkSession, path: str,
+            metrics: ReadMetrics | None = None,
+            on_malformed: str = "raise") -> DataFrame:
     """S1 (n3, rdflib-free subset): per-file parse_n3 inside mapInPandas —
     full Turtle plus the triple-desugaring N3 sugar (@keywords, has,
     is..of, =). Formulae/variables/rules raise NotImplementedError from
     the parser; route those documents through read_rdf_with_rdflib."""
-    return _whole_doc_reader(spark, path, parse_n3)
+    return _whole_doc_reader(spark, path, parse_n3, metrics, on_malformed)
 
 
 # --- RDF/XML (stdlib ElementTree subset, r3) -------------------------------
@@ -817,8 +939,10 @@ def parse_rdfxml(text: str, doc_salt: str | None = None) -> list[tuple]:
     return rows
 
 
-def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
+def read_rdfxml(spark: SparkSession, path: str,
+                metrics: ReadMetrics | None = None,
+                on_malformed: str = "raise") -> DataFrame:
     """S1 (rdf/xml, rdflib-free subset): per-file parse_rdfxml inside
     mapInPandas; same per-file parallelism + bnode-scoping contract as
     read_turtle (_whole_doc_reader)."""
-    return _whole_doc_reader(spark, path, parse_rdfxml)
+    return _whole_doc_reader(spark, path, parse_rdfxml, metrics, on_malformed)

@@ -554,6 +554,53 @@ def test_read_rdf_dir_mixed_formats(spark, tmp_path):
     }
 
 
+def test_read_metrics_counts_bad_nt_lines(spark, nt_path):
+    """Unparseable NT lines are COUNTED, not silently dropped (r4 VERDICT
+    #3), and the clean rows are byte-identical to an uncounted read."""
+    m = sources.ReadMetrics(spark)
+    rows = sources.read_ntriples(spark, nt_path, metrics=m).collect()
+    assert len(rows) == 5
+    assert m.bad_lines == 1        # 'not a triple line'; comment/blank ≠ bad
+    assert m.bad_docs == 0
+    plain = sources.read_ntriples(spark, nt_path).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, plain))
+
+
+def test_whole_doc_quarantine_counts_and_keeps_scan_alive(spark, tmp_path):
+    """A corrupt .ttl fails the read by default; under
+    on_malformed='quarantine' it is skipped + counted and the good file
+    still parses — one corrupt shard must not kill a 100 TB crawl read."""
+    (tmp_path / "good.ttl").write_text(
+        '@prefix ex: <http://e/> .\nex:a ex:p "v" .\n')
+    (tmp_path / "bad.ttl").write_text("@prefix broken <oops % not turtle\n")
+    with pytest.raises(Exception, match="tokenize|prefix"):
+        sources.read_turtle(spark, str(tmp_path)).collect()
+    m = sources.ReadMetrics(spark)
+    rows = sources.read_turtle(
+        spark, str(tmp_path), metrics=m, on_malformed="quarantine").collect()
+    assert [(r["s"], r["p"], r["o"]) for r in rows] == [
+        ("http://e/a", "http://e/p", "v")]
+    assert m.bad_docs == 1 and m.bad_lines == 0
+    with pytest.raises(ValueError, match="on_malformed"):
+        sources.read_turtle(spark, str(tmp_path), on_malformed="skip")
+
+
+def test_read_rdf_dir_threads_metrics(spark, tmp_path):
+    """read_rdf_dir surfaces per-read bad-line AND bad-doc counts across
+    its per-format readers (r4 VERDICT #3 'surfaced through read_rdf_dir')."""
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "a.nt").write_text('<http://d/s> <http://d/p> "x" .\nNOT NT AT ALL\n')
+    (d / "good.ttl").write_text('@prefix ex: <http://e/> .\nex:a ex:p "v" .\n')
+    (d / "bad.ttl").write_text("@prefix broken <oops\n")
+    m = sources.ReadMetrics(spark)
+    rows = {(r["s"], r["p"], r["o"]) for r in sources.read_rdf_dir(
+        spark, str(d), metrics=m, on_malformed="quarantine").collect()}
+    assert rows == {("http://d/s", "http://d/p", "x"),
+                    ("http://e/a", "http://e/p", "v")}
+    assert m.bad_lines == 1 and m.bad_docs == 1
+
+
 def test_read_rdf_dir_empty_raises(spark, tmp_path):
     d = tmp_path / "nothing"
     d.mkdir()
