@@ -56,6 +56,14 @@ def unpersist_tracked(blocking: bool = False) -> int:
 _MAX_STAT_FILES = 512
 
 
+# File extensions whose codec cannot be split mid-stream: the whole file
+# is one scan partition no matter its size. (bzip2 IS splittable in
+# Hadoop; parquet/orc compress per-page inside a splittable container, so
+# `.snappy.parquet` never reaches this check — the extension test below
+# looks at the FINAL suffix only.)
+_NON_SPLITTABLE_EXTS = (".gz", ".zst", ".zstd", ".lz4", ".snappy", ".deflate")
+
+
 def _estimated_scan_partitions(df: DataFrame, files: list[str]) -> int:
     """Estimate scan-partition count from file-size metadata using Spark's
     own packing formula (FilePartition.maxSplitBytes in the Spark source):
@@ -65,8 +73,17 @@ def _estimated_scan_partitions(df: DataFrame, files: list[str]) -> int:
         maxSplit     = min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))
         partitions  ~= ceil(totalBytes / maxSplit)
 
+    Files with a non-splittable compression extension (.gz text/JSON
+    etc.) are excluded from the byte-packing estimate and counted as ONE
+    partition each: the formula above assumes splittable input, so a few
+    large gz files would otherwise estimate wide while actually scanning
+    one partition per file — and the narrow scan would never be widened
+    (ADVICE r4).
+
     Driver-side metadata only — no job, no physical planning. Raises on
     any FS weirdness; callers fall back to the RDD probe."""
+    import os
+
     spark = df.sparkSession
     jvm = spark.sparkContext._jvm
     ju = jvm.org.apache.spark.network.util.JavaUtils
@@ -77,12 +94,17 @@ def _estimated_scan_partitions(df: DataFrame, files: list[str]) -> int:
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     total = 0
+    n_unsplittable = 0
     for f in files:
+        if os.path.splitext(f)[1].lower() in _NON_SPLITTABLE_EXTS:
+            n_unsplittable += 1
+            continue
         p = Path(f)
         total += p.getFileSystem(hconf).getFileStatus(p).getLen() + open_cost
     per_core = total // max(spark.sparkContext.defaultParallelism, 1)
     max_split = min(max_pb, max(open_cost, per_core))
-    return max(1, -(-total // max(max_split, 1)))
+    split_parts = -(-total // max(max_split, 1)) if total else 0
+    return max(1, split_parts + n_unsplittable)
 
 
 def spread(df: DataFrame, key: str) -> DataFrame:

@@ -619,6 +619,33 @@ def test_spread_no_shuffle_for_large_single_splittable_file(spark, tmp_path):
         spark.conf.set("spark.sql.files.openCostInBytes", old_open)
 
 
+def test_spread_widens_large_gz_file(spark, tmp_path):
+    """ADVICE r4: a large NON-splittable (.gz) file scans as ONE partition
+    regardless of byte size — the size-based estimate must count it as 1,
+    not bytes/maxSplit, so spread() widens the genuinely narrow scan."""
+    import gzip
+
+    from kgsum_spark.datapipe._util import spread
+
+    gz = tmp_path / "big.json.gz"
+    with gzip.open(gz, "wt") as f:
+        for i in range(30_000):
+            f.write('{"doc_id": %d, "text": "%s"}\n' % (i, "payload " * 30))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes", "4m")
+    try:
+        # small enough that the BYTE formula would call the file wide
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        spark.conf.set("spark.sql.files.openCostInBytes", "512")
+        df = spark.read.schema("doc_id long, text string").json(str(gz))
+        wide = spread(df, "doc_id")
+        assert "Exchange" in wide._jdf.queryExecution().executedPlan().toString(), \
+            "large gz file is one scan partition and must be widened"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+
+
 def test_derive_lsh_params_scale_rule():
     """VERDICT r3: the occupancy rule is the DEFAULT. At the calibration
     point (the 2k-vector sf0.1 embeddings table) the defaults are 4x48; at
