@@ -499,6 +499,40 @@ def dedup_neardup_survivors(spark, sf):
     ).orderBy("doc_id")
 
 
+def dedup_neardup_survivors_minhash(spark, sf):
+    """The SAME survivor semantics through the 100 TB path: MinHash+LSH
+    pruned, exact-verified pairs (recall 1.0 on these corpora — asserted
+    vs brute force at 3 SFs in tests) → CC → min-id survivor. Shares the
+    brute-force WITH RECURSIVE oracle with dedup_neardup_survivors: if
+    LSH ever missed a pair here, the survivor set would differ and the
+    row would go red."""
+    d = _t(spark, sf, "documents")
+    out = dd.neardup_dedup(d, "doc_id", "text", n=3, threshold=0.5,
+                           method="minhash")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
+def curation_pipeline_docs(spark, sf):
+    """The full three-stage curation pipeline (r5): exact dedup → near-dup
+    removal (exact trigram pairs, threshold 0.5) → benchmark
+    decontamination (4-gram overlap vs the every-97th-doc eval set), all
+    through dd.curate_corpus. ORACLED end-to-end: DuckDB recomputes exact
+    survivors (min id per normalized-text hash), closes near-dup
+    components over THOSE with WITH RECURSIVE, then drops contaminated
+    survivors with NOT IN."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    out = dd.curate_corpus(train, bench, "doc_id", "text",
+                           n=3, threshold=0.5, method="ngram",
+                           max_shingle_df=None, contamination_n=4)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
 def text_quality_metrics(spark, sf):
     d = _t(spark, sf, "documents")
     m = ts.quality_metrics(d, "text")
@@ -1757,6 +1791,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram": decontaminate_ngram,
         "decontaminate_drop_docs": decontaminate_drop_docs,
         "dedup_neardup_survivors": dedup_neardup_survivors,
+        "dedup_neardup_survivors_minhash": dedup_neardup_survivors_minhash,
+        "curation_pipeline_docs": curation_pipeline_docs,
         "chunk_docs_windows": chunk_docs_windows,
         "text_quality_metrics": text_quality_metrics,
         "pii_redact_docs": pii_redact_docs,
@@ -2020,7 +2056,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE common / (sa.sz + sb.sz - common) >= 0.6
         ORDER BY a, b
     """
-    return {
+    sqls = {
         "j8_asof_join": """
             WITH purchases AS (
                 SELECT user_id, ts, max(value) AS last_purchase_value
@@ -2578,6 +2614,67 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT node FROM dropped)
             ORDER BY doc_id
         """,
+        "curation_pipeline_docs": f"""
+            WITH RECURSIVE train AS (
+                SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0
+            ), ex AS (  -- exact-dedup survivors: min id per normalized text
+                SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+                FROM train GROUP BY sha256({norm_text})
+            ), ex_surv AS (
+                SELECT tr.doc_id, tr.text, tr.lang
+                FROM train tr JOIN ex USING (doc_id)
+            ), toks AS (
+                SELECT doc_id, string_split({norm_text}, ' ') AS t FROM ex_surv
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 2, 0) + 1),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), common AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), pairs AS (
+                SELECT a, b FROM common
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE common / (sa.sz + sb.sz - common) >= 0.5
+            ), esym AS (
+                SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ), reach AS (
+                SELECT a AS node, a AS r FROM esym
+                UNION
+                SELECT e.b AS node, reach.r FROM reach JOIN esym e ON e.a = reach.node
+            ), cc AS (
+                SELECT node, min(r) AS label FROM reach GROUP BY node
+            ), keep AS (
+                SELECT label, min(node) AS keep_id FROM cc GROUP BY label
+            ), dropped AS (
+                SELECT node FROM cc JOIN keep USING (label)
+                WHERE node <> keep_id
+            ), nd AS (  -- near-dup survivors
+                SELECT doc_id, text, lang FROM ex_surv
+                WHERE doc_id NOT IN (SELECT node FROM dropped)
+            ), toks4 AS (
+                SELECT doc_id, string_split({norm_text}, ' ') AS t
+                FROM documents
+            ), sh4 AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+                FROM toks4
+            ), bench4 AS (
+                SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 97 = 0
+            ), contaminated AS (
+                SELECT DISTINCT doc_id FROM sh4
+                WHERE shingle IN (SELECT shingle FROM bench4)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM nd
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ORDER BY doc_id
+        """,
         "dedup_ngram_pairs": f"""
             WITH toks AS (
                 SELECT doc_id, string_split({norm_text}, ' ') AS t FROM documents
@@ -3035,3 +3132,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
     }
+    # the minhash survivor path shares the brute-force closure oracle: a
+    # single LSH miss would change the survivor set and go red
+    sqls["dedup_neardup_survivors_minhash"] = sqls["dedup_neardup_survivors"]
+    return sqls

@@ -224,6 +224,35 @@ def neardup_dedup(
     )
 
 
+def curate_corpus(
+    docs: DataFrame, bench: DataFrame | None, id_col: str, text_col: str,
+    *, n: int = 3, threshold: float = 0.5, method: str = "minhash",
+    max_shingle_df: int | None = 1000, contamination_n: int = 13,
+) -> DataFrame:
+    """The published three-stage curation pipeline in one call:
+
+      1. exact dedup (hash-groupBy, min-id survivor) — cheapest pass
+         first, shrinks the corpus before any pair space exists;
+      2. near-duplicate removal (neardup_dedup: pairs → connected
+         components → min-id survivor per cluster);
+      3. benchmark decontamination DROP (decontaminate_drop), skipped
+         when bench is None.
+
+    Every stage is itself oracle-verified; the composition is oracled
+    end-to-end as `curation_pipeline_docs`. Stage order matters at
+    scale: exact dedup removes the degenerate template clusters that
+    would otherwise hand stage 2 a quadratic pair space (the one regime
+    no LSH cap fixes — BENCH streaming notes), and decontamination runs
+    last so its broadcast flag set is built over the smallest corpus."""
+    out = dedup_exact(docs, id_col, text_col)
+    out = neardup_dedup(out, id_col, text_col, n=n, threshold=threshold,
+                        method=method, max_shingle_df=max_shingle_df)
+    if bench is not None:
+        out = decontaminate_drop(out, bench, id_col, text_col,
+                                 n=contamination_n)
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     threshold: float = 0.8, max_shingle_df: int | None = 1000,

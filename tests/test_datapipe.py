@@ -766,6 +766,32 @@ def test_neardup_dedup_survivors(spark):
         dedup.neardup_dedup(df, "doc_id", "text", method="nope")
 
 
+def test_curate_corpus_three_stages(spark):
+    """exact dup collapses first (4 survives as min of {4,5}), near-dup
+    cluster keeps its min (9 of {9,10}), contaminated doc 1 drops last,
+    clean docs pass through; bench=None skips decontamination."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about spark plans today"),
+         (4, "identical duplicated sentence body here"),
+         (5, "Identical DUPLICATED sentence body here!"),       # exact dup of 4
+         (9, "alpha beta gamma delta epsilon zeta eta theta"),
+         (10, "alpha beta gamma delta epsilon zeta eta iota")],  # near dup of 9
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id int, text string",
+    )
+    kept = dedup.curate_corpus(docs, bench, "doc_id", "text",
+                               n=3, threshold=0.5, method="ngram",
+                               max_shingle_df=None, contamination_n=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4, 9]
+    no_decon = dedup.curate_corpus(docs, None, "doc_id", "text",
+                                   n=3, threshold=0.5, method="ngram",
+                                   max_shingle_df=None)
+    assert sorted(r["doc_id"] for r in no_decon.collect()) == [1, 2, 4, 9]
+
+
 def test_redact_pii(spark):
     from kgsum_spark.datapipe import textstats as ts
     rows = spark.createDataFrame(
