@@ -533,6 +533,37 @@ def curation_pipeline_docs(spark, sf):
     ).orderBy("doc_id")
 
 
+def quality_filter_docs(spark, sf):
+    """Gopher-style quality FILTER (r5): keep documents with 30..90
+    whitespace tokens, ≤5% punctuation and digit chars, and duplicate-
+    token fraction ≤ 0.55 — a non-trivial three-way split on the
+    synthetic corpus (length bounds and the repetition bound each drop
+    rows). Map-only, no UDF, no shuffle. ORACLED: identical predicates
+    in DuckDB."""
+    d = _t(spark, sf, "documents")
+    out = ts.quality_filter(d, "text", min_tokens=30, max_tokens=90,
+                            max_punct_ratio=0.05, max_digit_ratio=0.05,
+                            max_dup_token_frac=0.55)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
+def embedding_neardup_survivors(spark, sf):
+    """Embedding-cosine near-dup removal (r5): LSH-pruned exact-verified
+    cosine pairs at 0.48 (the proven ann_lsh configuration) → connected
+    components → min-vec_id survivor per cluster. ORACLED: brute-force
+    cosine pairs + WITH RECURSIVE closure in DuckDB — an LSH miss would
+    change the survivor set and go red."""
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    out = sim.embedding_neardup_dedup(e, dim=dim, threshold=0.48,
+                                      n_planes=4, n_tables=48)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id")
+    ).orderBy("vec_id")
+
+
 def text_quality_metrics(spark, sf):
     d = _t(spark, sf, "documents")
     m = ts.quality_metrics(d, "text")
@@ -1793,6 +1824,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_neardup_survivors": dedup_neardup_survivors,
         "dedup_neardup_survivors_minhash": dedup_neardup_survivors_minhash,
         "curation_pipeline_docs": curation_pipeline_docs,
+        "quality_filter_docs": quality_filter_docs,
+        "embedding_neardup_survivors": embedding_neardup_survivors,
         "chunk_docs_windows": chunk_docs_windows,
         "text_quality_metrics": text_quality_metrics,
         "pii_redact_docs": pii_redact_docs,
@@ -3135,4 +3168,51 @@ def oracle_sql() -> dict[str, str]:
     # the minhash survivor path shares the brute-force closure oracle: a
     # single LSH miss would change the survivor set and go red
     sqls["dedup_neardup_survivors_minhash"] = sqls["dedup_neardup_survivors"]
+    wt = ("list_filter(string_split(trim(regexp_replace(lower(text),"
+          "'[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')")
+    sqls["quality_filter_docs"] = f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM (
+            SELECT doc_id, lang,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+                len(regexp_extract_all(text, '[^\\w\\s]'))
+                    / greatest(length(text), 1) AS punct_r,
+                len(regexp_extract_all(text, '[0-9]'))
+                    / greatest(length(text), 1) AS digit_r,
+                CASE WHEN len({wt}) > 0
+                     THEN 1 - len(list_distinct({wt})) / len({wt})
+                     ELSE 0.0 END AS dupf
+            FROM documents)
+        WHERE ntok >= 30 AND ntok <= 90
+          AND punct_r <= 0.05 AND digit_r <= 0.05 AND dupf <= 0.55
+        ORDER BY doc_id
+    """
+    sqls["embedding_neardup_survivors"] = """
+        WITH RECURSIVE v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+            FROM embeddings
+        ), pairs AS (
+            SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b
+            FROM v x JOIN v y ON x.vec_id < y.vec_id
+            WHERE list_dot_product(x.ve, y.ve)
+                  / (sqrt(list_dot_product(x.ve, x.ve))
+                     * sqrt(list_dot_product(y.ve, y.ve))) >= 0.48
+        ), esym AS (
+            SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ), reach AS (
+            SELECT a AS node, a AS r FROM esym
+            UNION
+            SELECT e.b AS node, reach.r FROM reach JOIN esym e ON e.a = reach.node
+        ), cc AS (
+            SELECT node, min(r) AS label FROM reach GROUP BY node
+        ), keep AS (
+            SELECT label, min(node) AS keep_id FROM cc GROUP BY label
+        ), dropped AS (
+            SELECT node FROM cc JOIN keep USING (label) WHERE node <> keep_id
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM dropped)
+        ORDER BY vec_id
+    """
     return sqls

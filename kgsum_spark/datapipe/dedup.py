@@ -196,6 +196,20 @@ def neardup_dedup(
             max_shingle_df=max_shingle_df)
     else:
         raise ValueError(f"neardup_dedup: unknown method {method!r}")
+    return survivors_from_pairs(df, id_col, pairs)
+
+
+def survivors_from_pairs(df: DataFrame, id_col: str,
+                         pairs: DataFrame) -> DataFrame:
+    """Shared survivor machinery: (a, b) duplicate pairs → connected
+    components → keep the min-id row per cluster → `df` minus the losers.
+    Used by neardup_dedup (text) and embedding_neardup_dedup (vectors).
+
+    Scale shape: only ids appearing in pairs enter the CC node set; the
+    drop set is pair-bounded and broadcast into a LEFT ANTI join, so the
+    corpus itself is never shuffled. Survivor choice is min(id) in the id
+    column's OWN ordering (numeric ids compare numerically), independent
+    of CC's internal string labels."""
     pairs = persist_tracked(pairs.select(
         F.col("a").cast("string").alias("a"),
         F.col("b").cast("string").alias("b"),
@@ -205,6 +219,8 @@ def neardup_dedup(
         .unionByName(pairs.select(F.col("b").alias("norm")))
         .distinct()
     )
+    from kgsum_spark.canonicalize import connected_components
+
     cc = connected_components(nodes, pairs)  # (norm, label), both strings
     # Recover the original-typed id so min() uses ITS ordering, not the
     # string label ordering ("10" < "9" lexicographically).

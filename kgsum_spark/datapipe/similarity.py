@@ -233,6 +233,24 @@ def ann_pairs_verified(
     )
 
 
+def embedding_neardup_dedup(
+    df: DataFrame, dim: int, threshold: float = 0.9,
+    n_planes: int | None = None, n_tables: int | None = None,
+    seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate REMOVAL (r5 — the last dedup
+    flavor from the build brief): LSH-pruned exact-verified cosine pairs
+    ≥ threshold → connected components → keep the min-id row per cluster.
+    Same survivor machinery as the text near-dup path
+    (dedup.survivors_from_pairs): drop set broadcast LEFT ANTI, corpus
+    never shuffled, survivor = min(id) in the id's own ordering."""
+    from kgsum_spark.datapipe.dedup import survivors_from_pairs
+
+    pairs = ann_pairs_verified(df, dim, n_planes, n_tables, seed,
+                               threshold, id_col, vec_col)
+    return survivors_from_pairs(df, id_col, pairs.select("a", "b"))
+
+
 # --- r2: IVF (inverted-file) ANN — the k-means-partitioned scale path ------
 
 

@@ -129,6 +129,48 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame, text_col: str = "text", *,
+    min_tokens: int = 1, max_tokens: int = 1_000_000,
+    max_punct_ratio: float = 1.0, max_digit_ratio: float = 1.0,
+    max_dup_token_frac: float = 1.0,
+) -> DataFrame:
+    """Gopher-style document FILTER (r5): keep rows whose quality signals
+    fall inside the bounds — the published-recipe step that turns the
+    quality METRICS into a curated corpus. Signals (all per-row JVM
+    expressions — map-only, no UDF, no shuffle; at 100 TB this is a scan
+    projection that pipelines into the next stage):
+
+      - whitespace token count in [min_tokens, max_tokens];
+      - punctuation and digit character ratios (vs total chars);
+      - duplicate-token fraction = 1 - distinct/total over normalized
+        word tokens (the map-only subset of repetition_metrics' signals;
+        zero-token docs get 0.0 and fail min_tokens instead).
+
+    Defaults are pass-through; callers set the published thresholds for
+    their corpus (e.g. Gopher's 50..100k tokens)."""
+    t = F.col(text_col)
+    ntok = F.size(tokens_of(t))
+    nchar = F.greatest(F.length(t), F.lit(1))
+    npunct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0)))
+    ndig = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), F.lit(0)))
+    wtoks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(t), r"[^a-z0-9]+", " ")), " "),
+        lambda x: x != "",
+    )
+    dupfrac = F.when(
+        F.size(wtoks) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(wtoks)) / F.size(wtoks),
+    ).otherwise(F.lit(0.0))
+    keep = (
+        (ntok >= min_tokens) & (ntok <= max_tokens)
+        & (npunct / nchar <= max_punct_ratio)
+        & (ndig / nchar <= max_digit_ratio)
+        & (dupfrac <= max_dup_token_frac)
+    )
+    return df.filter(keep)
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
                   alias: str = "quality") -> DataFrame:
     """Composite 0..1 quality score from the integer metrics (heuristic

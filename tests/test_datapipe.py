@@ -766,6 +766,40 @@ def test_neardup_dedup_survivors(spark):
         dedup.neardup_dedup(df, "doc_id", "text", method="nope")
 
 
+def test_quality_filter_bounds(spark):
+    """Each bound drops exactly its offender: too short, too long, too
+    much punctuation, too many digits, too repetitive; a clean doc stays.
+    Pass-through defaults keep everything."""
+    rows = [
+        (1, "a solid document with exactly eight words here"),
+        (2, "short"),                                      # < min_tokens
+        (3, " ".join(f"w{i}" for i in range(30))),         # > max_tokens
+        (4, "lots of punctuation !!! ??? ;;; ::: ... @@@"),
+        (5, "numbers 12345 67890 12345 67890 everywhere 99"),
+        (6, "dup dup dup dup dup dup dup unique"),          # repetitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    kept = textstats.quality_filter(
+        df, "text", min_tokens=3, max_tokens=20,
+        max_punct_ratio=0.1, max_digit_ratio=0.1, max_dup_token_frac=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1]
+    assert df.count() == textstats.quality_filter(df, "text").count()
+
+
+def test_embedding_neardup_dedup(spark):
+    """Two near-identical vectors collapse to the min id; the orthogonal
+    one survives. Exercises survivors_from_pairs on the vector path."""
+    rows = [
+        (9, [1.0, 0.0, 0.0, 0.0]),
+        (10, [0.999, 0.01, 0.0, 0.0]),   # cos ≈ 1 with 9
+        (2, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    kept = similarity.embedding_neardup_dedup(
+        df, dim=4, threshold=0.9, n_planes=2, n_tables=8)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [2, 9]
+
+
 def test_curate_corpus_three_stages(spark):
     """exact dup collapses first (4 survives as min of {4,5}), near-dup
     cluster keeps its min (9 of {9,10}), contaminated doc 1 drops last,
