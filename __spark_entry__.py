@@ -564,6 +564,36 @@ def embedding_neardup_survivors(spark, sf):
     ).orderBy("vec_id")
 
 
+def mixture_sample_docs(spark, sf):
+    """Deterministic data-mixture sampling (r5): per-language keep rates
+    (en 0.8, de 0.5, fr 0.25, rest 0.1) decided by a portable md5-derived
+    uniform over doc_id — the corpus-mixing step of a training recipe,
+    reproducible across engines and incremental across crawls. Map-only,
+    no UDF, no shuffle. ORACLED: identical hash arithmetic in DuckDB."""
+    d = _t(spark, sf, "documents")
+    out = A.mixture_sample(d, "lang", {"en": 0.8, "de": 0.5, "fr": 0.25},
+                           id_col="doc_id", default_rate=0.1)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
+def dedup_incremental_docs(spark, sf):
+    """Incremental cross-corpus exact dedup (r5): treat even doc_ids as
+    the new crawl and every-3rd doc_ids as the previously-kept corpus;
+    drop new docs whose normalized text already exists in the reference
+    (here: the doc_id % 6 == 0 overlap). Hash-reduced LEFT ANTI — the
+    join moves 32-byte sha256 values, never documents. ORACLED: DuckDB
+    NOT EXISTS on the same normalization."""
+    d = _t(spark, sf, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 0)
+    ref = d.filter(F.col("doc_id") % 3 == 0)
+    out = dd.dedup_against_reference(new, ref, "doc_id", "text")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    ).orderBy("doc_id")
+
+
 def text_quality_metrics(spark, sf):
     d = _t(spark, sf, "documents")
     m = ts.quality_metrics(d, "text")
@@ -1826,6 +1856,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_docs": curation_pipeline_docs,
         "quality_filter_docs": quality_filter_docs,
         "embedding_neardup_survivors": embedding_neardup_survivors,
+        "mixture_sample_docs": mixture_sample_docs,
+        "dedup_incremental_docs": dedup_incremental_docs,
         "chunk_docs_windows": chunk_docs_windows,
         "text_quality_metrics": text_quality_metrics,
         "pii_redact_docs": pii_redact_docs,
@@ -3185,6 +3217,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents)
         WHERE ntok >= 30 AND ntok <= 90
           AND punct_r <= 0.05 AND digit_r <= 0.05 AND dupf <= 0.55
+        ORDER BY doc_id
+    """
+    sqls["mixture_sample_docs"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'),
+                               18, 15))::BIGINT)
+              / 1152921504606846976.0
+              < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+                          WHEN 'fr' THEN 0.25 ELSE 0.1 END
+        ORDER BY doc_id
+    """
+    sqls["dedup_incremental_docs"] = """
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+        FROM documents d
+        WHERE d.doc_id % 2 = 0
+          AND NOT EXISTS (
+            SELECT 1 FROM documents r
+            WHERE r.doc_id % 3 = 0
+              AND trim(regexp_replace(lower(r.text), '[^a-z0-9]+', ' ', 'g'))
+                = trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g')))
         ORDER BY doc_id
     """
     sqls["embedding_neardup_survivors"] = """

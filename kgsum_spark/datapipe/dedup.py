@@ -72,6 +72,31 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
 
 
+def dedup_against_reference(
+    df: DataFrame, ref: DataFrame, id_col: str, text_col: str,
+    ref_text_col: str | None = None, broadcast_ref: bool = False,
+) -> DataFrame:
+    """Incremental exact dedup (r5): drop rows of `df` whose normalized
+    text already appears in `ref` — the cross-dump step of an iterated
+    crawl pipeline (dedup this month's crawl against everything already
+    kept). Complements dedup_exact (within-corpus) the way
+    decontaminate_drop complements ngram_contamination.
+
+    Scale shape: both sides reduce to sha256(normalized text) BEFORE the
+    join, so the anti-join moves 32-byte hashes, not documents. The ref
+    side is distinct-ed (its own map-side-combinable shuffle). Default
+    is a shuffled LEFT ANTI — a prior-dumps reference is corpus-sized
+    and NOT broadcastable at 100 TB; pass broadcast_ref=True only for a
+    genuinely small reference (an allowlist, a pilot corpus)."""
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    ref_h = F.sha2(
+        normalize_text(F.col(ref_text_col or text_col)), 256)
+    ref_hashes = ref.select(ref_h.alias("__ref_hash")).distinct()
+    if broadcast_ref:
+        ref_hashes = F.broadcast(ref_hashes)
+    return df.join(ref_hashes, h == F.col("__ref_hash"), "left_anti")
+
+
 def _gram_array(text_col: str, n: int):
     """array<struct<g0..g{n-1}>> of word n-grams for one row. Struct-valued
     shingles: identity is the token TUPLE (exact — tokens cannot contain

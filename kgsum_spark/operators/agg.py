@@ -84,6 +84,38 @@ def systematic_sample(df: DataFrame, group: str, order_col: str,
     )
 
 
+def mixture_sample(df: DataFrame, group_col: str, rates: dict[str, float],
+                   id_col: str, default_rate: float = 0.0,
+                   salt: str = "mix") -> DataFrame:
+    """Deterministic per-group mixture sampling (r5): keep each row with
+    its group's target rate — the data-mixing step of a training-corpus
+    recipe ("web at 0.3, books at 1.0, per-language weights"). The keep
+    decision is a pure function of (id, salt): u = md5-derived 60-bit
+    uniform in [0,1), keep iff u < rate[group]. Re-running over a grown
+    corpus keeps exactly the same rows for unchanged ids, so mixtures
+    are reproducible and incremental — unlike seeded `sample`, which
+    reshuffles with partitioning.
+
+    Scale shape: rates ship as a `create_map` literal (no join), the
+    hash is a codegen'd JVM expression chain — map-only, no UDF, no
+    shuffle; at 100 TB this is a scan-time filter that pipelines into
+    the next stage. The 15-hex-digit md5 slice (60 bits < 2^63) is the
+    repo's portable-hash idiom, reproducible bit-for-bit in ANSI SQL."""
+    rate_map = F.create_map(
+        *[x for k, v in rates.items()
+          for x in (F.lit(k), F.lit(float(v)))])
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"),
+                               F.lit("|" + salt))), 18, 15),
+            16, 10
+        ).cast("long") / F.lit(float(1 << 60))
+    )
+    rate = F.coalesce(rate_map[F.col(group_col)], F.lit(float(default_rate)))
+    return df.filter(u < rate)
+
+
 def stratified_oversample(df: DataFrame, label: str, seed: int = 42,
                           factor: float = 3.0) -> DataFrame:
     """A6 — oversample minority classes toward the majority count, capped at

@@ -877,3 +877,20 @@ def test_chunk_documents(spark):
         (1, 2, 4, "t6 t7 t8 t9"),
         (2, 0, 2, "short doc"),
     ]
+
+
+def test_dedup_against_reference(spark):
+    """New docs whose normalized text exists in the reference drop (case
+    and punctuation differences still match); unseen texts survive; the
+    broadcast_ref variant returns the identical set."""
+    new = spark.createDataFrame(
+        [(1, "Hello, WORLD!"), (2, "a brand new document"),
+         (3, "shared text")],
+        "doc_id int, text string")
+    ref = spark.createDataFrame(
+        [(100, "hello world"), (101, "shared   text")],
+        "doc_id int, text string")
+    for bc in (False, True):
+        kept = dedup.dedup_against_reference(
+            new, ref, "doc_id", "text", broadcast_ref=bc)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2]

@@ -307,3 +307,25 @@ def test_funnel_steps(spark):
            agg.funnel_steps(df, "u", "t", "ts",
                             ["signup", "view", "purchase"]).collect()}
     assert got == {"u1": 3, "u2": 1, "u3": 1, "u5": 2}
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Rate 1.0 keeps the whole group, 0.0 (via default) drops it, and
+    the keep set is a pure function of the ids — two runs agree row for
+    row, and a fractional rate lands near its target on 400 ids."""
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    full = agg.mixture_sample(df, "g", {"a": 1.0}, id_col="id")
+    assert sorted(r["id"] for r in full.collect()) == list(range(0, 400, 2))
+    half = agg.mixture_sample(df, "g", {"a": 1.0, "b": 0.5}, id_col="id")
+    b_kept = [r["id"] for r in half.collect() if r["g"] == "b"]
+    assert 60 <= len(b_kept) <= 140        # 200 candidates at rate 0.5
+    again = [r["id"] for r in
+             agg.mixture_sample(df, "g", {"a": 1.0, "b": 0.5},
+                                id_col="id").collect() if r["g"] == "b"]
+    assert sorted(b_kept) == sorted(again)
+    # a different salt re-rolls the decision for at least one id
+    other = [r["id"] for r in
+             agg.mixture_sample(df, "g", {"a": 1.0, "b": 0.5}, id_col="id",
+                                salt="other").collect() if r["g"] == "b"]
+    assert sorted(other) != sorted(b_kept)
