@@ -594,6 +594,23 @@ def dedup_incremental_docs(spark, sf):
     ).orderBy("doc_id")
 
 
+def pack_docs_sequences(spark, sf):
+    """GPT-style sequence packing (r5): concat-and-split the corpus
+    token stream into 128-token training sequences, documents spanning
+    boundaries (median doc = 56 tokens, so sequences mix docs AND docs
+    straddle cuts). Returns the (seq_id, doc_id, tok_start, tok_len)
+    assignment table from a two-phase distributed prefix sum — the
+    naive single-partition global-window cumsum is exactly what this
+    operator exists to avoid. ORACLED: window cumsum + unnest in
+    DuckDB."""
+    d = _t(spark, sf, "documents")
+    out = ts.pack_sequences(d, "doc_id", "text", capacity=128)
+    return out.select(
+        "seq_id", F.col("id").cast("bigint").alias("doc_id"),
+        "tok_start", "tok_len",
+    ).orderBy("seq_id", "doc_id")
+
+
 def text_quality_metrics(spark, sf):
     d = _t(spark, sf, "documents")
     m = ts.quality_metrics(d, "text")
@@ -1858,6 +1875,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_survivors": embedding_neardup_survivors,
         "mixture_sample_docs": mixture_sample_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
+        "pack_docs_sequences": pack_docs_sequences,
         "chunk_docs_windows": chunk_docs_windows,
         "text_quality_metrics": text_quality_metrics,
         "pii_redact_docs": pii_redact_docs,
@@ -3218,6 +3236,32 @@ def oracle_sql() -> dict[str, str]:
         WHERE ntok >= 30 AND ntok <= 90
           AND punct_r <= 0.05 AND digit_r <= 0.05 AND dupf <= 0.55
         ORDER BY doc_id
+    """
+    sqls["pack_docs_sequences"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     AS ntok
+          FROM documents WHERE trim(text) <> ''
+        ), o AS (
+          SELECT doc_id, ntok,
+                 CAST(SUM(ntok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - ntok AS BIGINT) AS off
+          FROM t
+        ), e AS (
+          SELECT doc_id, ntok, off,
+                 unnest(generate_series(off // 128,
+                                        (off + ntok - 1) // 128)) AS seq
+          FROM o
+        )
+        SELECT CAST(seq AS BIGINT) AS seq_id,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(greatest(0, seq*128 - off) AS BIGINT) AS tok_start,
+               CAST(least(ntok, (seq+1)*128 - off)
+                    - greatest(0, seq*128 - off) AS BIGINT) AS tok_len
+        FROM e
+        ORDER BY seq_id, doc_id
     """
     sqls["mixture_sample_docs"] = """
         SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents

@@ -10,7 +10,7 @@ executor-cached model, which this container doesn't ship.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword inventories per language — the ~40 most frequent function words
@@ -272,6 +272,83 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
         F.sum("c").cast("bigint").alias("n_tokens"),
         (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_token_frac"),
         (F.max("c") / F.sum("c")).alias("top_token_frac"),
+    )
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", capacity: int = 2048,
+                   order_col: str | None = None) -> DataFrame:
+    """GPT-style sequence packing (r5): concatenate the corpus's token
+    stream in a stable document order and cut it into training sequences
+    of exactly `capacity` tokens, letting documents span sequence
+    boundaries (the padding-free "concat-and-split" convention of
+    GPT/LLaMA-style pretraining — chunk_documents is the per-document
+    alternative that never crosses boundaries). Returns the assignment
+    table (seq_id, id, tok_start, tok_len): for each document, which
+    slice of its whitespace-token stream lands in which sequence; every
+    token of every non-empty document appears exactly once, and a writer
+    joining text back in can materialize the packed shards map-side.
+
+    Scale design — the global running token offset is the crux: a naive
+    `Window.orderBy(order)` cumsum collapses to ONE partition. Instead a
+    two-phase distributed prefix sum: range-repartition by the order
+    column, cumsum WITHIN each partition (parallel windows), then lift
+    per-partition token totals (one tiny row per partition) into a
+    broadcast offset map. The partitioned counts frame is persisted so
+    the partition ids seen by the totals pass and the window pass are
+    the same physical partitioning (range sampling is not re-run). Emit
+    is map-only from there: each doc explodes into the 1 + spans it
+    crosses. Cost at 100 TB: one range shuffle of (id, ntok) pairs —
+    the text itself never moves."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    order_col = order_col or id_col
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"), F.col(order_col).alias("_ord"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long").alias("_ntok"),
+    )
+    from kgsum_spark.datapipe._util import persist_tracked
+
+    part = persist_tracked(
+        base.repartitionByRange("_ord")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    totals = sorted(
+        (r["_pid"], r["t"]) for r in
+        part.groupBy("_pid").agg(F.sum("_ntok").alias("t")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += t
+    off_map = F.create_map(
+        *[x for pid, o in offsets.items()
+          for x in (F.lit(pid), F.lit(o))]) if offsets else F.create_map()
+    w = (Window.partitionBy("_pid").orderBy("_ord")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offs = part.select(
+        "id", "_ntok",
+        (off_map[F.col("_pid")] + F.sum("_ntok").over(w) - F.col("_ntok"))
+        .alias("_off"),
+    )
+    cap = F.lit(int(capacity))
+    spanned = offs.select(
+        "id", "_ntok", "_off",
+        F.explode(F.sequence(
+            F.expr(f"_off div {int(capacity)}"),
+            F.expr(f"(_off + _ntok - 1) div {int(capacity)}"),
+        )).alias("seq_id"),
+    )
+    tok_start = F.greatest(F.lit(0).cast("long"),
+                           F.col("seq_id") * cap - F.col("_off"))
+    tok_end = F.least(F.col("_ntok"),
+                      (F.col("seq_id") + 1) * cap - F.col("_off"))
+    return spanned.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "id",
+        tok_start.cast("long").alias("tok_start"),
+        (tok_end - tok_start).cast("long").alias("tok_len"),
     )
 
 

@@ -894,3 +894,48 @@ def test_dedup_against_reference(spark):
         kept = dedup.dedup_against_reference(
             new, ref, "doc_id", "text", broadcast_ref=bc)
         assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-split semantics: every token of every non-empty doc is
+    assigned exactly once, every sequence holds exactly `capacity`
+    tokens except the last, docs span boundaries, empties drop, and the
+    slices are contiguous within each doc."""
+    rows = [(1, "a b c"), (2, "d e f g"), (3, "h"), (4, ""),
+            (5, " ".join(f"t{i}" for i in range(10)))]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = textstats.pack_sequences(df, capacity=4).collect()
+    assert sum(r["tok_len"] for r in out) == 18          # 3+4+1+10
+    per_seq = {}
+    for r in out:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["tok_len"]
+    last = max(per_seq)
+    assert all(v == 4 for s, v in per_seq.items() if s != last)
+    assert per_seq[last] == 18 - 4 * last
+    assert not any(r["id"] == 4 for r in out)            # empty dropped
+    assert {r["seq_id"] for r in out if r["id"] == 2} == {0, 1}  # spans
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["id"], r["tok_start"])):
+        by_doc.setdefault(r["id"], []).append((r["tok_start"], r["tok_len"]))
+    for slices in by_doc.values():
+        pos = 0
+        for start, ln in slices:
+            assert start == pos and ln > 0
+            pos += ln
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The assignment depends only on the order column, not on the
+    physical partitioning of the input: 1-partition and 16-partition
+    inputs produce identical tables (the two-phase prefix sum is
+    boundary-independent)."""
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(1 + i % 7)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = sorted(map(tuple, textstats.pack_sequences(
+        df.coalesce(1), capacity=16).collect()))
+    b = sorted(map(tuple, textstats.pack_sequences(
+        df.repartition(16), capacity=16).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        textstats.pack_sequences(df, capacity=0)
