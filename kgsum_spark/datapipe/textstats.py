@@ -10,7 +10,7 @@ executor-cached model, which this container doesn't ship.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Stopword inventories per language — the ~40 most frequent function words
@@ -292,14 +292,16 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
     Scale design — the global running token offset is the crux: a naive
     `Window.orderBy(order)` cumsum collapses to ONE partition. Instead a
     two-phase distributed prefix sum: range-repartition by the order
-    column, cumsum WITHIN each partition (parallel windows), then lift
-    per-partition token totals (one tiny row per partition) into a
-    broadcast offset map. The partitioned counts frame is persisted so
-    the partition ids seen by the totals pass and the window pass are
-    the same physical partitioning (range sampling is not re-run). Emit
-    is map-only from there: each doc explodes into the 1 + spans it
-    crosses. Cost at 100 TB: one range shuffle of (id, ntok) pairs —
-    the text itself never moves."""
+    column, lift per-partition token totals (one tiny row per partition)
+    into a plain-dict offset map, then a NARROW sortWithinPartitions +
+    Arrow-batched running sum (numpy cumsum carried across batches) —
+    a `Window.partitionBy(pid)` here would re-shuffle the frame on a key
+    it is already exactly partitioned by. The partitioned counts frame
+    is persisted so the totals pass and the cumsum pass see the same
+    physical partitioning (range sampling is not re-run). Emit is
+    map-only from there: each doc explodes into the 1 + spans it
+    crosses. Cost at 100 TB: ONE range shuffle of (id, ntok) pairs —
+    the text itself never moves and nothing shuffles twice."""
     if capacity <= 0:
         raise ValueError("capacity must be positive")
     order_col = order_col or id_col
@@ -308,6 +310,8 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
         F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
         .cast("long").alias("_ntok"),
     )
+    from pyspark.sql.types import LongType, StructField, StructType
+
     from kgsum_spark.datapipe._util import persist_tracked
 
     part = persist_tracked(
@@ -322,16 +326,31 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
     for pid, t in totals:
         offsets[pid] = acc
         acc += t
-    off_map = F.create_map(
-        *[x for pid, o in offsets.items()
-          for x in (F.lit(pid), F.lit(o))]) if offsets else F.create_map()
-    w = (Window.partitionBy("_pid").orderBy("_ord")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    offs = part.select(
-        "id", "_ntok",
-        (off_map[F.col("_pid")] + F.sum("_ntok").over(w) - F.col("_ntok"))
-        .alias("_off"),
-    )
+
+    out_schema = StructType([
+        part.schema["id"],
+        StructField("_ntok", LongType()),
+        StructField("_off", LongType()),
+    ])
+
+    def _running_offset(batches):
+        # One partition per call; batches arrive in sorted row order, so
+        # the running total carries across Arrow batches. The base
+        # offset is this partition's global prefix from the totals map.
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            ends = pdf["_ntok"].to_numpy().cumsum() + run
+            out = pdf[["id", "_ntok"]].copy()
+            out["_off"] = ends - pdf["_ntok"].to_numpy()
+            run = int(ends[-1])
+            yield out
+
+    offs = part.sortWithinPartitions("_ord").mapInPandas(
+        _running_offset, schema=out_schema)
     cap = F.lit(int(capacity))
     spanned = offs.select(
         "id", "_ntok", "_off",
