@@ -611,6 +611,17 @@ def pack_docs_sequences(spark, sf):
     ).orderBy("seq_id", "doc_id")
 
 
+def pack_docs_sequences_text(spark, sf):
+    """Materialized packed shards (r5): the actual 128-token training
+    sequences as text — pack_sequences' plan joined back to the corpus,
+    token slices migrated once to their output sequence, order restored
+    by array_sort (no global window). ORACLED: string_agg of list_slice
+    pieces in DuckDB, byte-for-byte."""
+    d = _t(spark, sf, "documents")
+    out = ts.pack_sequences_text(d, "doc_id", "text", capacity=128)
+    return out.select("seq_id", "n_tokens", "seq_text").orderBy("seq_id")
+
+
 def text_quality_metrics(spark, sf):
     d = _t(spark, sf, "documents")
     m = ts.quality_metrics(d, "text")
@@ -1876,6 +1887,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": mixture_sample_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "pack_docs_sequences": pack_docs_sequences,
+        "pack_docs_sequences_text": pack_docs_sequences_text,
         "chunk_docs_windows": chunk_docs_windows,
         "text_quality_metrics": text_quality_metrics,
         "pii_redact_docs": pii_redact_docs,
@@ -3262,6 +3274,40 @@ def oracle_sql() -> dict[str, str]:
                     - greatest(0, seq*128 - off) AS BIGINT) AS tok_len
         FROM e
         ORDER BY seq_id, doc_id
+    """
+    sqls["pack_docs_sequences_text"] = """
+        WITH t AS (
+          SELECT doc_id, trim(text) AS txt,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     AS ntok
+          FROM documents WHERE trim(text) <> ''
+        ), o AS (
+          SELECT doc_id, txt, ntok,
+                 CAST(SUM(ntok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - ntok AS BIGINT) AS off
+          FROM t
+        ), e AS (
+          SELECT doc_id, txt, ntok, off,
+                 unnest(generate_series(off // 128,
+                                        (off + ntok - 1) // 128)) AS seq
+          FROM o
+        ), sp AS (
+          SELECT CAST(seq AS BIGINT) AS seq_id, doc_id,
+                 CAST(greatest(0, seq*128 - off) AS BIGINT) AS tok_start,
+                 CAST(least(ntok, (seq+1)*128 - off)
+                      - greatest(0, seq*128 - off) AS BIGINT) AS tok_len,
+                 txt
+          FROM e
+        )
+        SELECT seq_id,
+               CAST(sum(tok_len) AS BIGINT) AS n_tokens,
+               string_agg(
+                 array_to_string(
+                   list_slice(string_split_regex(txt, '\\s+'),
+                              tok_start + 1, tok_start + tok_len), ' '),
+                 ' ' ORDER BY doc_id, tok_start) AS seq_text
+        FROM sp GROUP BY seq_id ORDER BY seq_id
     """
     sqls["mixture_sample_docs"] = """
         SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents

@@ -54,6 +54,7 @@ OPERATOR_QUERIES = [
     "ann_ivf_pruned",
     "decontaminate_ngram",
     "dedup_neardup_survivors",
+    "embedding_neardup_survivors",
     "kg_flagship_histogram",
     "kg_pipeline_triples",
 ]

@@ -371,6 +371,44 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def pack_sequences_text(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", capacity: int = 2048,
+                        order_col: str | None = None) -> DataFrame:
+    """Materialize the packed training shards (r5): join the document
+    text back onto the pack_sequences assignment table and emit one row
+    per sequence — (seq_id, n_tokens, seq_text) with exactly `capacity`
+    tokens per sequence except the last. This is the step that actually
+    writes GPT-style pretraining shards; pack_sequences alone is the
+    planning half.
+
+    Scale shape: the assignment table is slim (4 longs per doc-span);
+    the join shuffles on the doc id and the final groupBy shuffles each
+    token slice ONCE to its sequence — that data movement IS the
+    materialization (tokens must physically migrate to their output
+    sequence), so two shuffles is the floor, and the text column is
+    sliced to just the spanned tokens BEFORE the second shuffle. Piece
+    order within a sequence is restored by array_sort on (order,
+    tok_start) structs — no single-partition window."""
+    order_col = order_col or id_col
+    assign = pack_sequences(df, id_col, text_col, capacity, order_col)
+    docs = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"), F.col(order_col).alias("_ord"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    )
+    piece = F.slice("_toks", F.col("tok_start") + 1, F.col("tok_len"))
+    per = assign.join(docs, "id").select(
+        "seq_id",
+        F.struct(F.col("_ord"), F.col("tok_start"),
+                 piece.alias("piece")).alias("_p"),
+    )
+    ordered = F.array_sort(F.collect_list("_p"))
+    toks = F.flatten(F.transform(ordered, lambda s: s["piece"]))
+    return per.groupBy("seq_id").agg(
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_join(toks, " ").alias("seq_text"),
+    )
+
+
 def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     width: int = 64, stride: int = 48) -> DataFrame:

@@ -939,3 +939,18 @@ def test_pack_sequences_partition_invariant(spark):
     assert a == b
     with pytest.raises(ValueError):
         textstats.pack_sequences(df, capacity=0)
+
+
+def test_pack_sequences_text_materialization(spark):
+    """The materialized shards agree with the assignment table: every
+    sequence holds exactly `capacity` tokens except the last, and the
+    concatenation of all sequences equals the corpus token stream in
+    document order (boundary-crossing docs reassemble correctly)."""
+    rows = [(1, "a b c"), (2, "d e f g"), (3, "h"),
+            (5, " ".join(f"t{i}" for i in range(10)))]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = sorted(textstats.pack_sequences_text(df, capacity=4).collect(),
+                 key=lambda r: r["seq_id"])
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 4, 2]
+    stream = " ".join(r["seq_text"] for r in out)
+    assert stream == "a b c d e f g h " + " ".join(f"t{i}" for i in range(10))
