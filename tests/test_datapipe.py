@@ -954,3 +954,24 @@ def test_pack_sequences_text_materialization(spark):
     assert [r["n_tokens"] for r in out] == [4, 4, 4, 4, 2]
     stream = " ".join(r["seq_text"] for r in out)
     assert stream == "a b c d e f g h " + " ".join(f"t{i}" for i in range(10))
+
+
+def test_pack_sequences_multibatch_carry(spark):
+    """The running offset carries across Arrow batches WITHIN a
+    partition: with maxRecordsPerBatch=7 a 300-row single partition
+    spans many batches, and the result must equal the single-batch
+    run."""
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(1 + i % 5)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, text string").coalesce(1)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        small = sorted(map(tuple, textstats.pack_sequences(
+            df, capacity=16).collect()))
+    finally:
+        spark.conf.set(key, old)
+    big = sorted(map(tuple, textstats.pack_sequences(
+        df, capacity=16).collect()))
+    assert small == big and len(small) > 0
