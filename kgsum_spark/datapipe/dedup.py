@@ -269,28 +269,48 @@ def curate_corpus(
     docs: DataFrame, bench: DataFrame | None, id_col: str, text_col: str,
     *, n: int = 3, threshold: float = 0.5, method: str = "minhash",
     max_shingle_df: int | None = 1000, contamination_n: int = 13,
+    quality_bounds: dict | None = None,
+    mixture: tuple[str, dict, float] | None = None,
 ) -> DataFrame:
-    """The published three-stage curation pipeline in one call:
+    """The published curation pipeline in one call (up to five stages):
 
+      0. quality FILTER (textstats.quality_filter bounds), when
+         `quality_bounds` is given — a pure scan predicate, so it runs
+         FIRST and shrinks the corpus before any shuffle exists;
       1. exact dedup (hash-groupBy, min-id survivor) — cheapest pass
          first, shrinks the corpus before any pair space exists;
       2. near-duplicate removal (neardup_dedup: pairs → connected
          components → min-id survivor per cluster);
       3. benchmark decontamination DROP (decontaminate_drop), skipped
-         when bench is None.
+         when bench is None;
+      4. deterministic mixture sampling (agg.mixture_sample), when
+         `mixture=(group_col, rates, default_rate)` is given — LAST, so
+         the per-group rates act on the cleaned corpus.
 
-    Every stage is itself oracle-verified; the composition is oracled
-    end-to-end as `curation_pipeline_docs`. Stage order matters at
+    Every stage is itself oracle-verified; the three-stage composition
+    is oracled end-to-end as `curation_pipeline_docs` and the
+    five-stage one as `curation_full_docs`. Stage order matters at
     scale: exact dedup removes the degenerate template clusters that
     would otherwise hand stage 2 a quadratic pair space (the one regime
     no LSH cap fixes — BENCH streaming notes), and decontamination runs
-    last so its broadcast flag set is built over the smallest corpus."""
-    out = dedup_exact(docs, id_col, text_col)
+    late so its broadcast flag set is built over a small corpus."""
+    out = docs
+    if quality_bounds is not None:
+        from kgsum_spark.datapipe.textstats import quality_filter
+
+        out = quality_filter(out, text_col, **quality_bounds)
+    out = dedup_exact(out, id_col, text_col)
     out = neardup_dedup(out, id_col, text_col, n=n, threshold=threshold,
                         method=method, max_shingle_df=max_shingle_df)
     if bench is not None:
         out = decontaminate_drop(out, bench, id_col, text_col,
                                  n=contamination_n)
+    if mixture is not None:
+        from kgsum_spark.operators.agg import mixture_sample
+
+        group_col, rates, default_rate = mixture
+        out = mixture_sample(out, group_col, rates, id_col=id_col,
+                             default_rate=default_rate)
     return out
 
 

@@ -975,3 +975,22 @@ def test_pack_sequences_multibatch_carry(spark):
     big = sorted(map(tuple, textstats.pack_sequences(
         df, capacity=16).collect()))
     assert small == big and len(small) > 0
+
+
+def test_curate_corpus_quality_and_mixture_stages(spark):
+    """The optional stage-0 quality filter and final mixture stage
+    compose with the dedup core: the low-quality doc drops first, the
+    exact dup collapses, and a rate-1.0/0.0 mixture keeps exactly the
+    'en' survivors."""
+    docs = spark.createDataFrame(
+        [(1, "a solid little document with plenty of words here", "en"),
+         (2, "a solid little document with plenty of words here", "en"),
+         (3, "!!! ??? ;;; :::", "en"),                 # fails quality
+         (4, "another perfectly reasonable document right here", "de")],
+        "doc_id int, text string, lang string")
+    out = dedup.curate_corpus(
+        docs, None, "doc_id", "text", method="ngram", max_shingle_df=None,
+        quality_bounds=dict(min_tokens=3, max_punct_ratio=0.2),
+        mixture=("lang", {"en": 1.0}, 0.0),
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]
