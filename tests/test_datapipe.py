@@ -994,3 +994,25 @@ def test_curate_corpus_quality_and_mixture_stages(spark):
         mixture=("lang", {"en": 1.0}, 0.0),
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [1]
+
+
+def test_datapipe_scale_plan_shapes(spark):
+    """Scale-property regressions: the map-only curation ops plan with
+    ZERO exchanges, and sequence packing's only shuffle is its range
+    repartition (a hashpartitioning exchange here would mean the
+    redundant Window-style shuffle crept back)."""
+    from kgsum_spark.operators.agg import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"some words here number {i}", "en") for i in range(50)],
+        "doc_id int, text string, lang string")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "Exchange" not in plan(textstats.quality_filter(
+        docs, "text", min_tokens=2))
+    assert "Exchange" not in plan(mixture_sample(
+        docs, "lang", {"en": 0.5}, id_col="doc_id"))
+    assert "Exchange hashpartitioning" not in plan(
+        textstats.pack_sequences(docs, capacity=16))
