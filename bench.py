@@ -55,6 +55,7 @@ OPERATOR_QUERIES = [
     "decontaminate_ngram",
     "dedup_neardup_survivors",
     "embedding_neardup_survivors",
+    "curation_full_docs",
     "kg_flagship_histogram",
     "kg_pipeline_triples",
 ]
