@@ -1016,3 +1016,18 @@ def test_datapipe_scale_plan_shapes(spark):
         docs, "lang", {"en": 0.5}, id_col="doc_id"))
     assert "Exchange hashpartitioning" not in plan(
         textstats.pack_sequences(docs, capacity=16))
+
+
+def test_pack_sequences_empty_and_single(spark):
+    """Degenerate inputs: an all-empty corpus packs to zero rows (the
+    totals collect sees no partitions with rows); a single short doc
+    yields one partial sequence."""
+    empty = spark.createDataFrame([(1, "   "), (2, "")],
+                                  "doc_id int, text string")
+    assert textstats.pack_sequences(empty, capacity=8).count() == 0
+    assert textstats.pack_sequences_text(empty, capacity=8).count() == 0
+    one = spark.createDataFrame([(7, "just three words")],
+                                "doc_id int, text string")
+    got = textstats.pack_sequences_text(one, capacity=8).collect()
+    assert [(r["seq_id"], r["n_tokens"], r["seq_text"]) for r in got] == \
+        [(0, 3, "just three words")]
