@@ -280,3 +280,41 @@ def test_streaming_signatures_files_per_epoch(spark, tmp_path):
         files = [f for f in glob.glob(epoch_dir + "/*.parquet")]
         assert len(files) == 1, epoch_dir
     assert spark.read.parquet(sig_path).count() == 40
+
+
+def test_streaming_quality_filter_and_mixture(spark, tmp_path):
+    """The map-only curation ops (quality_filter, mixture_sample) apply
+    unchanged to a stream — both are pure scan predicates, so the
+    streaming plan needs no state store — and the streamed result
+    equals the batch result on the same input."""
+    from kgsum_spark.datapipe.textstats import quality_filter
+    from kgsum_spark.operators.agg import mixture_sample
+
+    rows = [(i,
+             ("only two" if i % 7 == 0
+              else " ".join(f"w{i}x{j}" for j in range(5))),
+             "en" if i % 2 == 0 else "de")
+            for i in range(200)]
+    schema = "doc_id long, text string, lang string"
+    src = tmp_path / "qf_src"
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src))
+
+    def curate(df):
+        out = quality_filter(df, "text", min_tokens=3)
+        return mixture_sample(out, "lang", {"en": 0.7, "de": 0.4},
+                              id_col="doc_id")
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out_dir = str(tmp_path / "qf_out")
+    q = (curate(stream).writeStream
+         .outputMode("append").format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "qf_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = sorted(r["doc_id"] for r in
+                      spark.read.parquet(out_dir).collect())
+    batch = sorted(r["doc_id"] for r in
+                   curate(spark.read.parquet(str(src))).collect())
+    assert streamed == batch and len(streamed) > 0
