@@ -1031,3 +1031,35 @@ def test_pack_sequences_empty_and_single(spark):
     got = textstats.pack_sequences_text(one, capacity=8).collect()
     assert [(r["seq_id"], r["n_tokens"], r["seq_text"]) for r in got] == \
         [(0, 3, "just three words")]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.integers(min_value=0, max_value=40),   # token count per doc
+    min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=17))
+def test_pack_sequences_matches_sequential_reference(spark, ntoks, cap):
+    """Property: the distributed two-phase prefix sum produces exactly
+    the assignment a naive sequential packer computes — for arbitrary
+    token-count profiles (including zero-token docs, docs larger than
+    the capacity, and capacity 1)."""
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate(ntoks)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(map(tuple, textstats.pack_sequences(
+        df, capacity=cap).collect()))
+    # sequential reference
+    expect, off = [], 0
+    for i, n in enumerate(ntoks):
+        if n == 0:
+            continue
+        for seq in range(off // cap, (off + n - 1) // cap + 1):
+            start = max(0, seq * cap - off)
+            end = min(n, (seq + 1) * cap - off)
+            expect.append((seq, i, start, end - start))
+        off += n
+    assert got == sorted(expect)
