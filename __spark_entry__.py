@@ -557,6 +557,29 @@ def curation_full_docs(spark, sf):
     ).orderBy("doc_id")
 
 
+def training_shards_docs(spark, sf):
+    """The engine's whole purpose in ONE query (r5 capstone): raw docs →
+    five-stage curation (quality → exact dedup → near-dup removal →
+    decontamination → mixture) → GPT-style 128-token packed training
+    shards, materialized as text. ORACLED end-to-end: the five-stage
+    DuckDB chain feeds the window-cumsum packing chain, byte-for-byte on
+    seq_text."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    curated = dd.curate_corpus(
+        train, bench, "doc_id", "text",
+        n=3, threshold=0.5, method="ngram", max_shingle_df=None,
+        contamination_n=4,
+        quality_bounds=dict(min_tokens=30, max_tokens=90,
+                            max_punct_ratio=0.05, max_digit_ratio=0.05,
+                            max_dup_token_frac=0.55),
+        mixture=("lang", {"en": 0.8, "de": 0.5, "fr": 0.25}, 0.1),
+    )
+    out = ts.pack_sequences_text(curated, "doc_id", "text", capacity=128)
+    return out.select("seq_id", "n_tokens", "seq_text").orderBy("seq_id")
+
+
 def quality_filter_docs(spark, sf):
     """Gopher-style quality FILTER (r5): keep documents with 30..90
     whitespace tokens, ≤5% punctuation and digit chars, and duplicate-
@@ -1907,6 +1930,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_neardup_survivors_minhash": dedup_neardup_survivors_minhash,
         "curation_pipeline_docs": curation_pipeline_docs,
         "curation_full_docs": curation_full_docs,
+        "training_shards_docs": training_shards_docs,
         "quality_filter_docs": quality_filter_docs,
         "embedding_neardup_survivors": embedding_neardup_survivors,
         "mixture_sample_docs": mixture_sample_docs,
@@ -3382,6 +3406,119 @@ def oracle_sql() -> dict[str, str]:
                     - greatest(0, seq*128 - off) AS BIGINT) AS tok_len
         FROM e
         ORDER BY seq_id, doc_id
+    """
+    # capstone: the five-stage curation chain (same CTEs as
+    # curation_full_docs, but carrying text) feeding the packing-text
+    # chain — raw docs to byte-exact packed training shards in one SQL.
+    sqls["training_shards_docs"] = f"""
+        WITH RECURSIVE qual AS (
+            SELECT doc_id, text, lang FROM (
+                SELECT doc_id, text, lang,
+                    CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END AS ntok,
+                    len(regexp_extract_all(text, '[^\\w\\s]'))
+                        / greatest(length(text), 1) AS punct_r,
+                    len(regexp_extract_all(text, '[0-9]'))
+                        / greatest(length(text), 1) AS digit_r,
+                    CASE WHEN len({wt}) > 0
+                         THEN 1 - len(list_distinct({wt})) / len({wt})
+                         ELSE 0.0 END AS dupf
+                FROM documents WHERE doc_id % 97 <> 0)
+            WHERE ntok >= 30 AND ntok <= 90
+              AND punct_r <= 0.05 AND digit_r <= 0.05 AND dupf <= 0.55
+        ), ex AS (
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+            FROM qual GROUP BY sha256({nrm})
+        ), ex_surv AS (
+            SELECT q.doc_id, q.text, q.lang FROM qual q JOIN ex USING (doc_id)
+        ), toks AS (
+            SELECT doc_id, string_split({nrm}, ' ') AS t FROM ex_surv
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        ), common AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a, b FROM common
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE common / (sa.sz + sb.sz - common) >= 0.5
+        ), esym AS (
+            SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+        ), reach AS (
+            SELECT a AS node, a AS r FROM esym
+            UNION
+            SELECT e.b AS node, reach.r FROM reach
+            JOIN esym e ON e.a = reach.node
+        ), cc AS (
+            SELECT node, min(r) AS label FROM reach GROUP BY node
+        ), keep AS (
+            SELECT label, min(node) AS keep_id FROM cc GROUP BY label
+        ), dropped AS (
+            SELECT node FROM cc JOIN keep USING (label)
+            WHERE node <> keep_id
+        ), nd AS (
+            SELECT doc_id, text, lang FROM ex_surv
+            WHERE doc_id NOT IN (SELECT node FROM dropped)
+        ), toks4 AS (
+            SELECT doc_id, string_split({nrm}, ' ') AS t FROM documents
+        ), sh4 AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS shingle
+            FROM toks4
+        ), bench4 AS (
+            SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 97 = 0
+        ), contaminated AS (
+            SELECT DISTINCT doc_id FROM sh4
+            WHERE shingle IN (SELECT shingle FROM bench4)
+        ), curated AS (
+            SELECT doc_id, text FROM nd
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+              AND (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'),
+                                   18, 15))::BIGINT)
+                  / 1152921504606846976.0
+                  < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+                              WHEN 'fr' THEN 0.25 ELSE 0.1 END
+        ), pt AS (
+          SELECT doc_id, trim(text) AS txt,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     AS ptok
+          FROM curated WHERE trim(text) <> ''
+        ), po AS (
+          SELECT doc_id, txt, ptok,
+                 CAST(SUM(ptok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - ptok AS BIGINT) AS off
+          FROM pt
+        ), pe AS (
+          SELECT doc_id, txt, ptok, off,
+                 unnest(generate_series(off // 128,
+                                        (off + ptok - 1) // 128)) AS seq
+          FROM po
+        ), psp AS (
+          SELECT CAST(seq AS BIGINT) AS seq_id, doc_id,
+                 CAST(greatest(0, seq*128 - off) AS BIGINT) AS tok_start,
+                 CAST(least(ptok, (seq+1)*128 - off)
+                      - greatest(0, seq*128 - off) AS BIGINT) AS tok_len,
+                 txt
+          FROM pe
+        )
+        SELECT seq_id,
+               CAST(sum(tok_len) AS BIGINT) AS n_tokens,
+               string_agg(
+                 array_to_string(
+                   list_slice(string_split_regex(txt, '\\s+'),
+                              tok_start + 1, tok_start + tok_len), ' '),
+                 ' ' ORDER BY doc_id, tok_start) AS seq_text
+        FROM psp GROUP BY seq_id ORDER BY seq_id
     """
     sqls["pack_docs_sequences_text"] = """
         WITH t AS (
