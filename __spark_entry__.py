@@ -658,6 +658,27 @@ def pack_docs_sequences(spark, sf):
     ).orderBy("seq_id", "doc_id")
 
 
+def pack_docs_sequences_hashorder(spark, sf):
+    """Sequence packing in SHUFFLED document order (r5): real training
+    shards are packed over a shuffled corpus, not id order — here the
+    order column is a portable md5-derived 60-bit key over doc_id, so
+    the shuffle is deterministic and engine-reproducible. Exercises
+    pack_sequences' order_col parameter (the range repartition and the
+    prefix sum follow the hash order). ORACLED: same cumsum chain in
+    DuckDB ordered by the identical hash."""
+    d = _t(spark, sf, "documents").withColumn(
+        "_h",
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit("|ord"))), 18, 15),
+               16, 10).cast("long"))
+    out = ts.pack_sequences(d, "doc_id", "text", capacity=128,
+                            order_col="_h")
+    return out.select(
+        "seq_id", F.col("id").cast("bigint").alias("doc_id"),
+        "tok_start", "tok_len",
+    ).orderBy("seq_id", "doc_id")
+
+
 def pack_docs_sequences_text(spark, sf):
     """Materialized packed shards (r5): the actual 128-token training
     sequences as text — pack_sequences' plan joined back to the corpus,
@@ -1936,6 +1957,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": mixture_sample_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "pack_docs_sequences": pack_docs_sequences,
+        "pack_docs_sequences_hashorder": pack_docs_sequences_hashorder,
         "pack_docs_sequences_text": pack_docs_sequences_text,
         "chunk_docs_windows": chunk_docs_windows,
         "text_quality_metrics": text_quality_metrics,
@@ -3390,6 +3412,34 @@ def oracle_sql() -> dict[str, str]:
         ), o AS (
           SELECT doc_id, ntok,
                  CAST(SUM(ntok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - ntok AS BIGINT) AS off
+          FROM t
+        ), e AS (
+          SELECT doc_id, ntok, off,
+                 unnest(generate_series(off // 128,
+                                        (off + ntok - 1) // 128)) AS seq
+          FROM o
+        )
+        SELECT CAST(seq AS BIGINT) AS seq_id,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(greatest(0, seq*128 - off) AS BIGINT) AS tok_start,
+               CAST(least(ntok, (seq+1)*128 - off)
+                    - greatest(0, seq*128 - off) AS BIGINT) AS tok_len
+        FROM e
+        ORDER BY seq_id, doc_id
+    """
+    sqls["pack_docs_sequences_hashorder"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ord'),
+                                  18, 15))::BIGINT) AS h,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                     AS ntok
+          FROM documents WHERE trim(text) <> ''
+        ), o AS (
+          SELECT doc_id, ntok,
+                 CAST(SUM(ntok) OVER (ORDER BY h
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       - ntok AS BIGINT) AS off
           FROM t
