@@ -94,17 +94,27 @@ def _estimated_scan_partitions(df: DataFrame, files: list[str]) -> int:
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     total = 0
-    n_unsplittable = 0
+    unsplittable: list[int] = []
     for f in files:
-        if os.path.splitext(f)[1].lower() in _NON_SPLITTABLE_EXTS:
-            n_unsplittable += 1
-            continue
         p = Path(f)
-        total += p.getFileSystem(hconf).getFileStatus(p).getLen() + open_cost
+        size = p.getFileSystem(hconf).getFileStatus(p).getLen() + open_cost
+        total += size
+        if os.path.splitext(f)[1].lower() in _NON_SPLITTABLE_EXTS:
+            unsplittable.append(size)
     per_core = total // max(spark.sparkContext.defaultParallelism, 1)
     max_split = min(max_pb, max(open_cost, per_core))
-    split_parts = -(-total // max(max_split, 1)) if total else 0
-    return max(1, split_parts + n_unsplittable)
+    # Spark bin-packs non-splittable files like everything else — many
+    # SMALL .gz files coalesce into few FilePartitions — but cannot split
+    # one LARGE .gz mid-stream, so such a file is one whole partition no
+    # matter its size. Counting every unsplittable file as one partition
+    # (the r5 estimate) over-counted small-gz dirs and made spread() skip
+    # widening genuinely narrow scans (ADVICE r5). Estimate: large
+    # unsplittable files (> maxSplit) get one partition each and leave
+    # the packing pool; everything else packs at maxSplit granularity.
+    n_large = sum(1 for s in unsplittable if s > max_split)
+    packable = total - sum(s for s in unsplittable if s > max_split)
+    split_parts = -(-packable // max(max_split, 1)) if packable else 0
+    return max(1, split_parts + n_large)
 
 
 def spread(df: DataFrame, key: str) -> DataFrame:

@@ -23,6 +23,16 @@ from kgsum_spark.datapipe._util import persist_tracked, spread as _spread_impl
 # modular hash runs under ANSI overflow checking without try_multiply.
 MERSENNE = (1 << 31) - 1
 
+# Default ceiling (rows) for broadcasting a drop/flag id set into a LEFT
+# ANTI join. ~10M bigint ids ≈ 80 MB serialized plus the executor-side
+# hash relation — comfortably under the 8 GB broadcast cap and the
+# measured local crossover (tools/anti_join_crossover.py, r6: broadcast
+# and shuffled anti-join walls cross between 10M and 50M rows on this
+# box; see OPTIMIZATION_r06.md). At web-crawl scale near-dup losers are
+# 30-50% of the corpus — billions of ids — so the gate is what makes the
+# flagship curation path 100 TB-safe (r5 VERDICT #1).
+BROADCAST_DROP_THRESHOLD = 10_000_000
+
 
 def normalize_text(c):
     return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
@@ -165,7 +175,8 @@ def ngram_contamination(
 def decontaminate_drop(
     docs: DataFrame, bench: DataFrame, id_col: str, text_col: str,
     bench_id_col: str | None = None, bench_text_col: str | None = None,
-    n: int = 13,
+    n: int = 13, broadcast_hits: bool | str = "auto",
+    broadcast_hits_threshold: int = BROADCAST_DROP_THRESHOLD,
 ) -> DataFrame:
     """The other half of benchmark decontamination: DROP the flagged
     training documents (ngram_contamination only FLAGS them). Returns
@@ -174,15 +185,25 @@ def decontaminate_drop(
     contaminated documents, it doesn't just report them).
 
     Scale design: the contaminated-id set is benchmark-overlap sized
-    (tiny against a 10^10-doc corpus), so it is broadcast into a LEFT
-    ANTI join — the corpus streams through map-side with NO shuffle and
-    no second shingle pass. If a pathological overlap ever outgrows
-    broadcast, remove the hint and the same plan shuffles on the id."""
-    hits = ngram_contamination(
+    (tiny against a 10^10-doc corpus), so it is normally broadcast into
+    a LEFT ANTI join — the corpus streams through map-side with NO
+    shuffle and no second shingle pass. broadcast_hits="auto" (default,
+    r6) makes the hint DATA-DRIVEN instead of unconditional: the flag
+    set is persisted (it has two consumers either way) and probed with a
+    capped `limit(T+1)` count — the canonicalize.py gate idiom — and a
+    pathological overlap beyond the threshold falls back to a shuffled
+    LEFT ANTI on the id, identical rows either way (an anti-join's
+    output does not depend on its physical strategy)."""
+    hits = persist_tracked(ngram_contamination(
         docs, bench, id_col, text_col, bench_id_col, bench_text_col, n
-    ).select(F.col("id").alias("__contaminated_id"))
+    ).select(F.col("id").alias("__contaminated_id")))
+    if broadcast_hits == "auto":
+        t = broadcast_hits_threshold
+        broadcast_hits = hits.limit(t + 1).count() <= t
+    if broadcast_hits:
+        hits = F.broadcast(hits)
     return docs.join(
-        F.broadcast(hits),
+        hits,
         F.col(id_col) == F.col("__contaminated_id"),
         "left_anti",
     )
@@ -192,6 +213,7 @@ def neardup_dedup(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     threshold: float = 0.5, method: str = "minhash",
     max_shingle_df: int | None = 1000,
+    broadcast_drop: bool | str = "auto",
 ) -> DataFrame:
     """End-to-end near-duplicate removal: pairs → connected components →
     keep the min-id survivor per cluster → the deduplicated corpus.
@@ -221,20 +243,34 @@ def neardup_dedup(
             max_shingle_df=max_shingle_df)
     else:
         raise ValueError(f"neardup_dedup: unknown method {method!r}")
-    return survivors_from_pairs(df, id_col, pairs)
+    return survivors_from_pairs(df, id_col, pairs, broadcast_drop)
 
 
 def survivors_from_pairs(df: DataFrame, id_col: str,
-                         pairs: DataFrame) -> DataFrame:
+                         pairs: DataFrame,
+                         broadcast_drop: bool | str = "auto",
+                         broadcast_drop_threshold: int = BROADCAST_DROP_THRESHOLD,
+                         ) -> DataFrame:
     """Shared survivor machinery: (a, b) duplicate pairs → connected
     components → keep the min-id row per cluster → `df` minus the losers.
     Used by neardup_dedup (text) and embedding_neardup_dedup (vectors).
 
     Scale shape: only ids appearing in pairs enter the CC node set; the
-    drop set is pair-bounded and broadcast into a LEFT ANTI join, so the
-    corpus itself is never shuffled. Survivor choice is min(id) in the id
-    column's OWN ordering (numeric ids compare numerically), independent
-    of CC's internal string labels."""
+    corpus itself is never shuffled on the broadcast path. Survivor
+    choice is min(id) in the id column's OWN ordering (numeric ids
+    compare numerically), independent of CC's internal string labels.
+
+    broadcast_drop (r6, the r5 VERDICT's top item): the drop set is
+    pair-bounded, but at web-crawl scale near-dup losers are routinely
+    30-50% of the corpus — billions of ids is pair-bounded AND not
+    broadcastable, so the former unconditional `F.broadcast(drop)` was a
+    designed-in executor OOM. "auto" (default) gates the hint on the
+    persisted pair count (drop rows ≤ 2·pairs, and the count is a cache
+    scan because connected_components' capped edge probe has already
+    materialized the frame): ≤ threshold/2 pairs → broadcast, else a
+    plain shuffled LEFT ANTI on the id. True/False force either path;
+    both produce identical survivors (anti-join output is strategy-
+    independent — asserted by tests/test_datapipe.py)."""
     pairs = persist_tracked(pairs.select(
         F.col("a").cast("string").alias("a"),
         F.col("b").cast("string").alias("b"),
@@ -260,8 +296,12 @@ def survivors_from_pairs(df: DataFrame, id_col: str,
         .filter(F.col("__orig_id") != F.col("__keep_id"))
         .select(F.col("__orig_id").alias("__drop_id"))
     )
+    if broadcast_drop == "auto":
+        broadcast_drop = 2 * pairs.count() <= broadcast_drop_threshold
+    if broadcast_drop:
+        drop = F.broadcast(drop)
     return df.join(
-        F.broadcast(drop), F.col(id_col) == F.col("__drop_id"), "left_anti"
+        drop, F.col(id_col) == F.col("__drop_id"), "left_anti"
     )
 
 
@@ -328,10 +368,14 @@ def ngram_jaccard_pairs(
     per-doc sizes are computed from the SAME filtered shingle set, so the
     result is the well-defined Jaccard of the capped sets — not a hybrid of
     full sizes over filtered intersections."""
-    sh = _shingles(df, id_col, text_col, n)
+    # sh feeds sizes + both self-join sides (and the DF cap when active):
+    # without the persist the shingle explode recomputes once per consumer
+    # (r6; the prefix variant has carried the same persist since r5).
+    sh = persist_tracked(_shingles(df, id_col, text_col, n))
     if max_shingle_df is not None:
         sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(sdf.filter(F.col("df_") <= max_shingle_df), "shingle", "left_semi")
+        sh = persist_tracked(
+            sh.join(sdf.filter(F.col("df_") <= max_shingle_df), "shingle", "left_semi"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("a"), "shingle")
     b = sh.select(F.col("id").alias("b"), "shingle")
@@ -353,7 +397,7 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
-    num_perm: int = 64, seed: int = 42,
+    num_perm: int = 64, seed: int = 42, shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — MinHash signature over word n-grams.
 
@@ -370,7 +414,7 @@ def minhash_signatures(
     # per-row array_min(transform(...)) rewrite 12s — higher-order lambdas
     # evaluate interpreted per element, so 64 HOF passes lose to one
     # whole-stage-codegen aggregate even though the latter shuffles.
-    sh = _shingles(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else _shingles(df, id_col, text_col, n)
     hashed = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)))
     agg = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE)).alias(f"m{i}")
@@ -419,10 +463,18 @@ def minhash_lsh_candidates(
             f"bands*rows_per_band ({bands}*{rows_per_band}) exceeds "
             f"signature length num_perm={num_perm}"
         )
+    # Band hash = xxhash64 over the band's signature elements directly:
+    # the former slice(...).cast("string") built a fresh string per row
+    # per band (allocation + formatting) only to hash it; hashing the
+    # longs is the same bucketing (equal bands still collide, unequal
+    # bands differ up to hash collisions, which the exact verify absorbs)
+    # with no allocation. Guide §2.3: shuffle/aggregate keys as narrow
+    # native types.
     band_arr = F.array(*[
         F.struct(
             F.lit(bi).alias("band"),
-            F.xxhash64(F.slice("sig", bi * rows_per_band + 1, rows_per_band).cast("string")).alias("bh"),
+            F.xxhash64(*[F.get("sig", bi * rows_per_band + j)
+                         for j in range(rows_per_band)]).alias("bh"),
         )
         for bi in range(bands)
     ])
@@ -530,6 +582,7 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
 
 def exact_ngram_jaccard_on_pairs(
     pairs: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b) candidate pairs → (a, b, jaccard) with EXACT word-n-gram
     Jaccard. Shingle scan is semi-join-pruned to the candidate doc ids, so
@@ -539,7 +592,7 @@ def exact_ngram_jaccard_on_pairs(
     # full LSH join, the corpus shingle scan) run once per consumer. Both
     # frames are candidate-proportional, not corpus-proportional.
     pairs = persist_tracked(pairs)
-    sh = _shingles(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else _shingles(df, id_col, text_col, n)
     ids = (
         pairs.select(F.col("a").alias("id"))
         .unionByName(pairs.select(F.col("b").alias("id")))
@@ -579,11 +632,12 @@ def minhash_neardup_verified(
     whole signature subtree for each side. Signature volume is num_perm
     longs per DOCUMENT (vocabulary-sized, not corpus-sized) — safe to
     persist at any scale."""
+    sh = persist_tracked(_shingles(df, id_col, text_col, n))
     sigs = persist_tracked(
-        minhash_signatures(df, id_col, text_col, n, num_perm, seed))
+        minhash_signatures(df, id_col, text_col, n, num_perm, seed, shingles=sh))
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band, num_perm).select("a", "b")
     return (
-        exact_ngram_jaccard_on_pairs(cand, df, id_col, text_col, n)
+        exact_ngram_jaccard_on_pairs(cand, df, id_col, text_col, n, shingles=sh)
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -715,6 +769,6 @@ def ngram_jaccard_pairs_prefix(
         .distinct()
     )
     return (
-        exact_ngram_jaccard_on_pairs(cand, df, id_col, text_col, n)
+        exact_ngram_jaccard_on_pairs(cand, df, id_col, text_col, n, shingles=sh)
         .filter(F.col("jaccard") >= threshold)
     )

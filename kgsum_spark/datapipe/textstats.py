@@ -314,8 +314,14 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
 
     from kgsum_spark.datapipe._util import persist_tracked
 
+    # (_ord, id) — not _ord alone: repartitionByRange keeps equal keys
+    # together but sortWithinPartitions leaves tied rows in arbitrary
+    # relative order, so duplicate order keys (guaranteed for a 60-bit
+    # hash order column at ~2^30 docs by birthday collisions) would make
+    # the packing nondeterministic run-to-run (ADVICE r5). The id
+    # tiebreak makes it a pure function of the data.
     part = persist_tracked(
-        base.repartitionByRange("_ord")
+        base.repartitionByRange("_ord", "id")
         .withColumn("_pid", F.spark_partition_id())
     )
     totals = sorted(
@@ -349,7 +355,7 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
             run = int(ends[-1])
             yield out
 
-    offs = part.sortWithinPartitions("_ord").mapInPandas(
+    offs = part.sortWithinPartitions("_ord", "id").mapInPandas(
         _running_offset, schema=out_schema)
     cap = F.lit(int(capacity))
     spanned = offs.select(

@@ -66,16 +66,19 @@ def normalize_tokens(text: Column, lang: str = "en",
 
         @F.pandas_udf("array<string>")
         def _porter_tokens(texts: pd.Series) -> pd.Series:
-            import functools
             import re
 
             # Zipfian token streams: a bounded memo turns ~99% of stem
             # calls into dict hits — measured 0.09M → 6.99M tokens/s
             # (74×) on 2M tokens over a 5k-word Zipfian vocab (r5).
-            # Built HERE because an lru_cache wrapper doesn't pickle;
-            # one cache per worker/UDF instance, which is where the
-            # token stream lives anyway.
-            stem = functools.lru_cache(maxsize=65536)(porter_stem)
+            # The memo lives in worker-global state (_porter_memo_stem,
+            # importable module scope) so it SURVIVES across Arrow
+            # batches and — with spark.python.worker.reuse — across
+            # tasks; r5 built an lru_cache inside this body, which runs
+            # once per ~10k-row batch, so cross-batch hits (the bulk of
+            # a Zipfian stream's repeats) were being thrown away
+            # (ADVICE r5).
+            stem = _porter_memo_stem
             word_re = re.compile(r"[a-z][a-z0-9]+")
             return texts.fillna("").map(
                 lambda t: [stem(w) for w in word_re.findall(t.lower())
@@ -207,6 +210,27 @@ def porter_stem(word: str) -> str:
     if _measure(w) > 1 and len(w) >= 2 and w[-1] == "l" and w[-2] == "l":
         w = w[:-1]
     return w
+
+
+# Worker-global stem memo (r6): module scope so the cache survives across
+# Arrow batches and, with spark.python.worker.reuse (the default), across
+# tasks of a reused Python worker — the UDF lives in this importable
+# module, so executors resolve this name instead of getting a pickled-by-
+# value fresh cache per task (guide §4.5). Bounded with clear-on-full:
+# the realistic distinct-word population (~10^5-10^6 after lowercasing)
+# fits; a clear under adversarial vocabularies just costs recompute.
+_PORTER_MEMO: dict[str, str] = {}
+_PORTER_MEMO_MAX = 1 << 17
+
+
+def _porter_memo_stem(w: str) -> str:
+    s = _PORTER_MEMO.get(w)
+    if s is None:
+        if len(_PORTER_MEMO) >= _PORTER_MEMO_MAX:
+            _PORTER_MEMO.clear()
+        s = porter_stem(w)
+        _PORTER_MEMO[w] = s
+    return s
 
 
 # N3 — entity mention + coarse type detection. The reference extracts only

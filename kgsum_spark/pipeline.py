@@ -116,12 +116,36 @@ def _footer_lineage(
     is on shared storage — true for any real cluster (HDFS/S3 via
     pyarrow's FS) and for local-mode tests. `force_distribute` exists for
     tests and for callers who know their FS latency."""
-    files = [
-        os.path.join(root, fn)
-        for root, _dirs, fns in os.walk(path)
-        for fn in fns
-        if fn.endswith(".parquet")
-    ]
+    from urllib.parse import urlparse
+
+    if urlparse(path).scheme in ("", "file"):
+        files = [
+            os.path.join(root, fn)
+            for root, _dirs, fns in os.walk(path)
+            for fn in fns
+            if fn.endswith(".parquet")
+        ]
+    else:
+        # os.walk returns NOTHING for object-store/HDFS paths — the r5
+        # remote threshold was unreachable and lineage silently came back
+        # empty (ADVICE r5). List via the Hadoop FileSystem recursive
+        # iterator instead (same API family as sources._hadoop_list_files;
+        # works for every scheme Spark itself can read). Executors then
+        # open the files via pyarrow's own FS layer in _footer_rows.
+        if spark is None:
+            raise ValueError(
+                f"_footer_lineage: non-local path {path!r} requires a "
+                "SparkSession to list files (Hadoop FS)")
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(hconf)
+        it = fs.listFiles(jpath, True)
+        files = []
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            if p.endswith(".parquet"):
+                files.append(p)
     if spark is None or (
         not force_distribute and len(files) <= _lineage_threshold(path)
     ):
@@ -160,6 +184,18 @@ def _write_stage(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     lineage = _footer_lineage(path, spark=df.sparkSession)
+    if not lineage:
+        # A freshly written stage with zero parquet files is either a
+        # legitimately empty DataFrame (valid: schema-only marker) or an
+        # FS/listing failure; surface it rather than silently recording
+        # rows=0 (ADVICE r5).
+        import warnings
+
+        warnings.warn(
+            f"_write_stage({stage!r}): no parquet files found under "
+            f"{path!r} after write — empty stage or listing failure",
+            stacklevel=2,
+        )
     meta = {
         "stage": stage,
         "rows": sum(p["rows"] for p in lineage),

@@ -783,8 +783,14 @@ def _whole_doc_reader(
                     rows = parse_fn(doc or "", doc_salt=salt)
                 except NotImplementedError:
                     raise  # well-formed RDF beyond the subset → rdflib seam
-                except (ValueError, SyntaxError):
-                    # SyntaxError covers xml.etree's ParseError
+                except Exception:
+                    # The subset parsers raise ValueError/SyntaxError
+                    # (xml.etree's ParseError) on bad input by contract,
+                    # but a truncated or pathological document can
+                    # surface IndexError/KeyError/AttributeError from the
+                    # hand-rolled code paths — quarantine mode must
+                    # quarantine those too instead of killing the scan
+                    # (ADVICE r5). raise-mode still propagates everything.
                     if not quarantine:
                         raise
                     if bad_acc is not None:
