@@ -1063,3 +1063,46 @@ def test_pack_sequences_matches_sequential_reference(spark, ntoks, cap):
             expect.append((seq, i, start, end - start))
         off += n
     assert got == sorted(expect)
+
+
+def test_survivors_broadcast_gate_strategies_identical(spark):
+    """r6 (r5 VERDICT #1): survivors_from_pairs must return IDENTICAL
+    survivors whether the drop set is broadcast or shuffled — the auto
+    gate only changes the physical join. Forcing the shuffled path with a
+    zero threshold must also actually take it (no broadcast hint left)."""
+    rows = [
+        (9, "alpha beta gamma delta epsilon zeta eta theta"),
+        (10, "alpha beta gamma delta epsilon zeta eta iota"),
+        (11, "beta gamma delta epsilon zeta eta theta kappa"),
+        (2, "totally different text about query planning stuff"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                      threshold=0.4, max_shingle_df=None)
+    base = sorted(r["doc_id"] for r in dedup.survivors_from_pairs(
+        df, "doc_id", pairs, broadcast_drop=True).collect())
+    forced = dedup.survivors_from_pairs(
+        df, "doc_id", pairs, broadcast_drop=False)
+    assert sorted(r["doc_id"] for r in forced.collect()) == base == [2, 9]
+    auto_shuffled = dedup.survivors_from_pairs(
+        df, "doc_id", pairs, broadcast_drop="auto",
+        broadcast_drop_threshold=0)
+    assert sorted(r["doc_id"] for r in auto_shuffled.collect()) == base
+
+
+def test_decontaminate_drop_gate_strategies_identical(spark):
+    """r6: decontaminate_drop's hit-set broadcast auto-gate — broadcast,
+    forced-shuffle, and a zero-threshold auto decision must all drop the
+    same contaminated rows."""
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally clean document"),
+         (3, "other clean words here")],
+        "doc_id int, text string")
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps high")], "doc_id int, text string")
+    expected = [2, 3]
+    for kw in ({"broadcast_hits": True}, {"broadcast_hits": False},
+               {"broadcast_hits": "auto", "broadcast_hits_threshold": 0}):
+        kept = dedup.decontaminate_drop(train, bench, "doc_id", "text",
+                                        n=3, **kw)
+        assert sorted(r["doc_id"] for r in kept.collect()) == expected, kw

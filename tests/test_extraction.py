@@ -98,3 +98,54 @@ def test_hostile_inputs(spark):
 def test_empty_dataframe_extraction(spark):
     df = spark.createDataFrame([], "conv_id string, turn_idx int, text string")
     assert extract_raw_triples(df).count() == 0
+
+
+def test_arrow_fastpath_parity_with_python_oracle():
+    """r6: the extraction UDF runs an Arrow/RE2 fast path for rows whose
+    characters are 'portable' (printable ASCII + tab/newline/FF/CR) and
+    routes everything else to the original pandas/Python-`re` path. Both
+    paths must agree byte-for-byte with the single-process oracle
+    (rules.extract_sentence over rules.split_sentences), including on
+    rows that force the fallback: unicode, NBSP, vertical tab, \\x1c
+    (Python treats it as whitespace, RE2 does not), and the \\x00 split
+    sentinel itself."""
+    import pandas as pd
+
+    from kgsum_spark.extraction import _OUT_COLS, _extract_batches
+    from kgsum_spark.rules import extract_sentence, split_sentences
+
+    texts = [
+        None, "", "   ", "A is a b.", "A is a b. C was created by D.",
+        "A was created by B same as http://u.",     # two-rule overlap
+        "x is a b is a c.",                         # lazy backtracking
+        "Ünïcode is a tëst.",                       # unicode → fallback
+        "NB SP is a b.",                       # NBSP → fallback
+        "V\x0bT is a b.",                           # \x0b → fallback
+        "A is a b.\x1cC is a d.",                   # \x1c whitespace → fallback
+        "S\x00entinel is a b.",                     # \x00 byte → fallback
+        'E titled "".',                             # empty quoted object
+        "tab\tis a b.\n\nH has subject k.",
+        "multi.  space. I has theme t.",
+        "no anchor sentence here.",
+        "J uses vocabulary http://v.org/v. K has identifier id9.",
+        "trailing. ",
+    ]
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": list(range(len(texts))),
+        "text": texts,
+    })
+    pdf["part_id"] = 7
+    got = list(_extract_batches(iter([pdf])))
+    got = (pd.concat(got, ignore_index=True) if got
+           else pd.DataFrame(columns=_OUT_COLS))
+    exp = []
+    for i, t in enumerate(texts):
+        for s in split_sentences(t or ""):
+            r = extract_sentence(s)
+            if r:
+                rule, subj, obj = r
+                exp.append((subj, rule.pred, obj, rule.obj_kind == "I",
+                            rule.obj_kind == "M", f"c{i}", i, 7))
+    got_rows = sorted(map(tuple, got[_OUT_COLS].itertuples(index=False, name=None)))
+    assert got_rows == sorted(exp)
