@@ -59,6 +59,7 @@ def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 50,
     rows_per_partition: int = 100_000, driver_threshold: int = 1_000_000,
     driver_edge_threshold: int = 2_000_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """nodes(norm) ∪ edges(a, b) → (norm, label) with label = component min.
 
@@ -95,6 +96,14 @@ def connected_components(
     node_plan = nodes.select(F.col("norm").alias("node")).distinct()
     edge_plan = edges.select("a", "b")
     node_rows = node_plan.limit(driver_threshold + 1).collect()
+    if stats_out is not None:
+        # r6: expose what the gate probe already learned — the exact node
+        # count when the graph fit under the driver threshold, else None.
+        # Callers (survivors_from_pairs) size their drop-set broadcast
+        # decision from this for free instead of running another count.
+        stats_out["n_nodes"] = (
+            len(node_rows) if len(node_rows) <= driver_threshold else None
+        )
     if len(node_rows) <= driver_threshold:
         edge_rows = edge_plan.limit(driver_edge_threshold + 1).collect()
         if len(edge_rows) <= driver_edge_threshold:

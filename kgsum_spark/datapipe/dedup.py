@@ -176,7 +176,6 @@ def decontaminate_drop(
     docs: DataFrame, bench: DataFrame, id_col: str, text_col: str,
     bench_id_col: str | None = None, bench_text_col: str | None = None,
     n: int = 13, broadcast_hits: bool | str = "auto",
-    broadcast_hits_threshold: int = BROADCAST_DROP_THRESHOLD,
 ) -> DataFrame:
     """The other half of benchmark decontamination: DROP the flagged
     training documents (ngram_contamination only FLAGS them). Returns
@@ -185,22 +184,21 @@ def decontaminate_drop(
     contaminated documents, it doesn't just report them).
 
     Scale design: the contaminated-id set is benchmark-overlap sized
-    (tiny against a 10^10-doc corpus), so it is normally broadcast into
-    a LEFT ANTI join — the corpus streams through map-side with NO
-    shuffle and no second shingle pass. broadcast_hits="auto" (default,
-    r6) makes the hint DATA-DRIVEN instead of unconditional: the flag
-    set is persisted (it has two consumers either way) and probed with a
-    capped `limit(T+1)` count — the canonicalize.py gate idiom — and a
-    pathological overlap beyond the threshold falls back to a shuffled
-    LEFT ANTI on the id, identical rows either way (an anti-join's
-    output does not depend on its physical strategy)."""
-    hits = persist_tracked(ngram_contamination(
+    (tiny against a 10^10-doc corpus), so the LEFT ANTI join should
+    normally build a broadcast hash relation — but r5 FORCED the hint
+    unconditionally, a designed-in OOM for a pathological overlap.
+    broadcast_hits="auto" (default, r6) removes the hint and lets AQE's
+    runtime join-strategy selection decide from the flag set's MEASURED
+    shuffle size (guide §3.1): a small set becomes a broadcast anti-join
+    with no corpus shuffle, an oversized one stays a shuffled anti-join
+    — identical rows either way (an anti-join's output does not depend
+    on its physical strategy), and no probe job is spent deciding.
+    True forces the hint (callers that know the overlap is tiny and want
+    the broadcast even where AQE is off); False forces no hint."""
+    hits = ngram_contamination(
         docs, bench, id_col, text_col, bench_id_col, bench_text_col, n
-    ).select(F.col("id").alias("__contaminated_id")))
-    if broadcast_hits == "auto":
-        t = broadcast_hits_threshold
-        broadcast_hits = hits.limit(t + 1).count() <= t
-    if broadcast_hits:
+    ).select(F.col("id").alias("__contaminated_id"))
+    if broadcast_hits is True:
         hits = F.broadcast(hits)
     return docs.join(
         hits,
@@ -282,7 +280,8 @@ def survivors_from_pairs(df: DataFrame, id_col: str,
     )
     from kgsum_spark.canonicalize import connected_components
 
-    cc = connected_components(nodes, pairs)  # (norm, label), both strings
+    cc_stats: dict = {}
+    cc = connected_components(nodes, pairs, stats_out=cc_stats)  # (norm, label)
     # Recover the original-typed id so min() uses ITS ordering, not the
     # string label ordering ("10" < "9" lexicographically).
     ids = df.select(
@@ -297,7 +296,15 @@ def survivors_from_pairs(df: DataFrame, id_col: str,
         .select(F.col("__orig_id").alias("__drop_id"))
     )
     if broadcast_drop == "auto":
-        broadcast_drop = 2 * pairs.count() <= broadcast_drop_threshold
+        # drop rows < CC node count; CC's capped probe already measured
+        # it when the graph fit the driver path (the common case — zero
+        # extra jobs). Only an over-threshold graph needs the pair count,
+        # a cache scan of the persisted frame (drop rows ≤ 2·pairs).
+        n_nodes = cc_stats.get("n_nodes")
+        if n_nodes is not None:
+            broadcast_drop = n_nodes <= broadcast_drop_threshold
+        else:
+            broadcast_drop = 2 * pairs.count() <= broadcast_drop_threshold
     if broadcast_drop:
         drop = F.broadcast(drop)
     return df.join(
@@ -516,6 +523,42 @@ def minhash_lsh_candidates(
     return pairs.select(
         "a", "b", (eq / F.size("siga")).alias("est_jaccard")
     )
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """r6 (r5 VERDICT #3): make the max_bucket_size cap's accounting
+    OBSERVABLE — one tiny aggregate over the banded frame returning
+    {banded_rows, dropped_rows, n_buckets, max_bucket}: how much
+    hot-bucket mass the cap would remove (dropped_rows counts banded
+    rows sitting in over-cap buckets). Deliberately a SEPARATE probe
+    rather than an in-plan Observation: the bucket self-join consumes
+    the banded frame twice and exchange reuse silently discards a
+    CollectMetrics node on one side. Costs one extra pass over the
+    signatures; call it from benches/tests, not hot paths."""
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(*[F.get("sig", bi * rows_per_band + j)
+                         for j in range(rows_per_band)]).alias("bh"),
+        )
+        for bi in range(bands)
+    ])
+    buckets = (
+        sigs.select(F.explode(band_arr).alias("bk"))
+        .groupBy("bk.band", "bk.bh")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+    )
+    cap = max_bucket_size if max_bucket_size is not None else (1 << 62)
+    row = buckets.agg(
+        F.sum("_bn").alias("banded_rows"),
+        F.sum(F.when(F.col("_bn") > cap, F.col("_bn")).otherwise(0)).alias("dropped_rows"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("_bn").alias("max_bucket"),
+    ).first()
+    return row.asDict()
 
 
 def minhash_dedup_pairs(

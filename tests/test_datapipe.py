@@ -1102,7 +1102,74 @@ def test_decontaminate_drop_gate_strategies_identical(spark):
         [(100, "quick brown fox jumps high")], "doc_id int, text string")
     expected = [2, 3]
     for kw in ({"broadcast_hits": True}, {"broadcast_hits": False},
-               {"broadcast_hits": "auto", "broadcast_hits_threshold": 0}):
+               {"broadcast_hits": "auto"}):
         kept = dedup.decontaminate_drop(train, bench, "doc_id", "text",
                                         n=3, **kw)
         assert sorted(r["doc_id"] for r in kept.collect()) == expected, kw
+
+
+def test_lsh_bucket_cap_accounting_observable(spark):
+    """r6 (r5 VERDICT #3): the max_bucket_size cap's accounting is
+    observable — a hot near-identical cluster lands in over-cap buckets,
+    the Observation reports the dropped banded-row mass, and the
+    candidate count stays sub-quadratic in the cluster size."""
+    n_cluster, n_bg = 2000, 200
+    cluster = spark.range(n_cluster).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shared template words alpha beta gamma delta "
+                       "epsilon zeta eta theta iota kappa uniq"),
+                 F.col("id").cast("string")).alias("text"))
+    bg = spark.range(n_bg).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("bg"), F.col("id").cast("string"),
+                 F.lit("x completely "),
+                 F.lit("different "), F.col("id").cast("string"),
+                 F.lit(" words "), (F.col("id") * 7).cast("string")).alias("text"))
+    docs = cluster.unionByName(bg)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=3)
+    sigs = sigs.localCheckpoint()  # probe + candidates share one compute
+    cand = dedup.minhash_lsh_candidates(
+        sigs, bands=32, rows_per_band=2, max_bucket_size=64)
+    n_cand = cand.count()
+    got = dedup.lsh_bucket_stats(sigs, bands=32, rows_per_band=2,
+                                 max_bucket_size=64)
+    assert got["dropped_rows"] > 0          # the hot cluster hit the cap
+    assert got["banded_rows"] >= got["dropped_rows"]
+    # most of the template cluster collides in its hottest bucket
+    assert got["max_bucket"] >= n_cluster * 0.9
+    # sub-quadratic: uncapped, the 2000-doc near-identical cluster alone
+    # would emit ~C(2000,2) = 2M candidates; the cap bounds each bucket
+    # at C(64,2) pairs
+    assert n_cand < 200_000
+
+
+def test_curation_template_cluster_time_budget(spark):
+    """r6 (r5 VERDICT #3): one 10^5-member exact-template cluster plus a
+    varied background corpus through the DEFAULT curate_corpus path
+    (minhash) — exact dedup must consume the cluster before the pair
+    space exists, so the whole five-stage run finishes in seconds, not
+    the hours a quadratic candidate blowup would take. Pinned with a
+    generous wall budget so only a complexity regression trips it."""
+    import time
+
+    n_cluster, n_bg = 100_000, 3_000
+    cluster = spark.range(n_cluster).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the exact same boilerplate page body repeated verbatim "
+              "across the whole crawl shard").alias("text"))
+    bg = spark.range(n_bg).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("organic doc "), F.col("id").cast("string"),
+                 F.lit(" with words "), (F.col("id") * 13).cast("string"),
+                 F.lit(" and tail "), (F.col("id") * 7).cast("string")).alias("text"))
+    docs = cluster.unionByName(bg)
+    t0 = time.time()
+    kept = dedup.curate_corpus(docs, None, "doc_id", "text",
+                               n=3, threshold=0.5, method="minhash")
+    n_kept = kept.count()
+    wall = time.time() - t0
+    # exact dedup keeps one cluster representative; background docs are
+    # pairwise distinct and (modulo rare near-dup collisions) survive
+    assert n_kept >= n_bg * 0.9 + 1
+    assert n_kept <= n_bg + 1
+    assert wall < 180, f"template-cluster curation took {wall:.0f}s"
