@@ -152,6 +152,7 @@ def multi_lsh_candidates(
     df: DataFrame, dim: int, n_planes: int | None = None,
     n_tables: int | None = None,
     seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+    dedup: bool = True,
 ) -> DataFrame:
     """Candidate pairs (a, b) from MULTI-TABLE hyperplane LSH: n_tables
     independent sign-bit signatures of n_planes each; a pair is a candidate
@@ -197,17 +198,28 @@ def multi_lsh_candidates(
             })
             yield out
 
-    sigs = persist_tracked(df.select(id_col, vec_col).mapInPandas(
-        gen, "id long, table int, bucket long"
-    ))  # self-join reads it twice
+    # _spread (r6): a small/single-file corpus scans as 1-2 partitions;
+    # without widening, the signature matmul AND everything downstream
+    # that inherits this partitioning (the bucket self-join's stream
+    # side, the verify) would run on 1-2 cores — the deferred-dedup
+    # verify pipeline is map-side all the way, so THIS partitioning is
+    # the query's parallelism.
+    sigs = persist_tracked(
+        _spread(df.select(id_col, vec_col), id_col)
+        .mapInPandas(gen, "id long, table int, bucket long")
+    )  # self-join reads it twice
     a = sigs.select(F.col("id").alias("a"), "table", "bucket")
     b = sigs.select(F.col("id").alias("b"), "table", "bucket")
-    return (
+    out = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    # dedup=False (r6): callers whose downstream is cheap per row and
+    # ends in its own dedup (ann_pairs_verified) skip this exchange —
+    # at the pinned oracle configuration it shuffles ~2M rows to save
+    # ~1M cheap numpy cosines, a net loss (guide §2.4).
+    return out.distinct() if dedup else out
 
 
 def _pairwise_cosine_batches(dim: int, a_col: str = "va", b_col: str = "vb"):
@@ -268,9 +280,13 @@ def ann_pairs_verified(
     candidate set is ~1.9M pairs at sf0.1, so three interpreted folds per
     pair dominated the query (guide §4.2). The numpy pass is bit-exact
     (see _pairwise_cosine_batches); only (a, b, va, vb) enter the UDF
-    (explicit select → column pruning, guide §4.1)."""
-    cand = persist_tracked(
-        multi_lsh_candidates(df, dim, n_planes, n_tables, seed, id_col, vec_col))
+    (explicit select → column pruning, guide §4.1). The pre-verify
+    candidate distinct stays: deferring it past the verify was measured
+    SLOWER (a pair colliding in ~3 of 48 tables triples the numpy work,
+    which costs more than the one slim exchange it saves); the persist
+    is gone — the candidate list has a single consumer now."""
+    cand = multi_lsh_candidates(df, dim, n_planes, n_tables, seed, id_col,
+                                vec_col)
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     attached = (
         cand.join(vecs.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
