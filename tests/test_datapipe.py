@@ -1108,6 +1108,26 @@ def test_decontaminate_drop_gate_strategies_identical(spark):
         assert sorted(r["doc_id"] for r in kept.collect()) == expected, kw
 
 
+def test_ann_verify_broadcast_gate_paths_identical(spark):
+    """r6: ann_pairs_verified must emit BIT-IDENTICAL (a, b, sim) rows
+    whether the verify stage join-attaches vectors (the 100 TB shape) or
+    broadcasts the id→vector matrix into the UDF (the small-corpus fast
+    path) — the gate only changes how vectors reach the cosine. A
+    zero-byte ceiling must force the join path through "auto" too."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    join_path = sorted(similarity.ann_pairs_verified(
+        e, dim=64, n_planes=4, n_tables=48, threshold=0.45,
+        broadcast_vectors=False).collect())
+    bcast_path = sorted(similarity.ann_pairs_verified(
+        e, dim=64, n_planes=4, n_tables=48, threshold=0.45,
+        broadcast_vectors=True).collect())
+    auto_forced_join = sorted(similarity.ann_pairs_verified(
+        e, dim=64, n_planes=4, n_tables=48, threshold=0.45,
+        broadcast_vectors="auto", broadcast_vectors_max_bytes=0).collect())
+    assert join_path == bcast_path == auto_forced_join
+    assert len(join_path) > 0
+
+
 def test_lsh_bucket_cap_accounting_observable(spark):
     """r6 (r5 VERDICT #3): the max_bucket_size cap's accounting is
     observable — a hot near-identical cluster lands in over-cap buckets,
