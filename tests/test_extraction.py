@@ -100,6 +100,51 @@ def test_empty_dataframe_extraction(spark):
     assert extract_raw_triples(df).count() == 0
 
 
+def test_jvm_fastpath_dispatch_parity_with_oracle(spark):
+    """r6: extract_raw_triples routes JVM-portable rows through a pure
+    Catalyst-expression plan and everything else through the mapInPandas
+    path. The UNION of both branches must equal the single-process
+    oracle on a mix that exercises the dispatch — including \\r (the one
+    ASCII char where Java `.` and Python `.` disagree, so it MUST take
+    the Python branch) and the Arrow-fallback hostiles."""
+    from kgsum_spark.extraction import _JVM_NON_PORTABLE_RE
+    from kgsum_spark.rules import extract_sentence, split_sentences
+    import re as _re
+
+    texts = [
+        None, "", "A is a b.", "A is a b. C was created by D.",
+        "A was created by B same as http://u.",
+        "CR\rX is a b.",                  # \r inside subject → Python path
+        "A is a b.\rC is a d.",           # \r as split whitespace
+        "Ünïcode is a tëst.",             # unicode → Python path
+        'E titled "".',                    # empty quoted object (JVM path)
+        "tab\tis a b.\n\nH has subject k.",
+        "J uses vocabulary http://v.org/v. K has identifier id9.",
+        "x is a b is a c.",               # lazy backtracking
+        "no anchor sentence here.", "trailing. ",
+        "F\x0corm feed is a b.",          # \f stays on the JVM path
+    ]
+    # the dispatch predicate itself must send \r/unicode to Python
+    assert _re.search(_JVM_NON_PORTABLE_RE, "CR\rX") is not None
+    assert _re.search(_JVM_NON_PORTABLE_RE, "F\x0corm") is None
+    rows = [(f"c{i}", i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = sorted(
+        (r["subj"], r["pred"], r["obj"], r["obj_is_iri"], r["obj_is_mention"],
+         r["conv_id"], r["turn_idx"])
+        for r in extract_raw_triples(df).collect())
+    exp = []
+    for i, t in enumerate(texts):
+        for s in split_sentences(t or ""):
+            r = extract_sentence(s)
+            if r:
+                rule, subj, obj = r
+                exp.append((subj, rule.pred, obj, rule.obj_kind == "I",
+                            rule.obj_kind == "M", f"c{i}", i))
+    assert got == sorted(exp)
+    assert len(got) > 0
+
+
 def test_arrow_fastpath_parity_with_python_oracle():
     """r6: the extraction UDF runs an Arrow/RE2 fast path for rows whose
     characters are 'portable' (printable ASCII + tab/newline/FF/CR) and
