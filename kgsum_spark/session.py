@@ -60,6 +60,16 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Size the whole-stage-codegen class cache to the application's
+        # plan working set, not the 100-entry default. This app runs a
+        # battery of distinct operators (~400 generated classes for the
+        # bench suite alone, measured via CodegenMetrics); at the default,
+        # every re-execution of an already-warm plan evicts+recompiles —
+        # ~400 Janino compilations per bench pass, 0-2 once the cache
+        # holds the working set. Scale-independent (keyed by generated
+        # source, not data); compiled classes are deterministic, so this
+        # caches compiler state only, never data or results.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
